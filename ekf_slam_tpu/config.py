@@ -1,0 +1,166 @@
+"""Typed configuration for the TPU-native EKF-SLAM engine.
+
+The reference (SamShue/EKF_SLAM) hard-codes all tuning as class properties and
+local variables (EKF_SLAM.m:12-16, EKF_SLAM_UC.m:12-16, RANSAC.m:67-90,
+SLAM.m:26-39).  Here the same knobs are typed, frozen dataclasses with the
+reference values as the ``ref_compat`` presets, so a single config object pins
+an entire reproducible run.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Association / algorithm modes
+# ---------------------------------------------------------------------------
+#: signature-only gating — reproduces the shipped reference behavior
+#: (Correspondence.m:75 uses only the signature cost; the Mahalanobis
+#: position cost is computed and discarded at Correspondence.m:69-74).
+ASSOC_SIGNATURE = "signature"
+#: full maximum-likelihood gate: Mahalanobis position cost (+ signature),
+#: the math the reference builds but never uses.
+ASSOC_ML = "ml"
+#: known correspondence — the EKF_SLAM.m path where z carries the landmark id.
+ASSOC_KNOWN = "known"
+
+
+@dataclasses.dataclass(frozen=True)
+class EKFParams:
+    """Filter-core parameters.
+
+    Reference values: ``C`` EKF_SLAM.m:12, ``rc`` EKF_SLAM_UC.m:13 (UC) /
+    EKF_SLAM.m:13 (known-corr) / SLAM_ransac.m:17 (legacy), ``s_cost`` /
+    ``s_thresh`` EKF_SLAM_UC.m:16, initial covariance EKF_SLAM.m:30-31.
+    """
+
+    #: landmark capacity K — state is padded to 3+2K and masked
+    #: (replaces the reference's rank-growing concat at EKF_SLAM.m:79,91).
+    capacity: int = 128
+    #: max observation slots processed per tick (reference loops over however
+    #: many rows RANSAC returned, EKF_SLAM_UC.m:109).
+    max_obs: int = 16
+
+    #: process-noise constant C (EKF_SLAM.m:12).
+    c_process: float = 0.2
+    #: measurement-noise constants; R = diag(r*rc[0], phi*rc[1])
+    #: (EKF_SLAM_UC.m:110 — noise scales with the measured values).
+    rc: Tuple[float, float] = (0.1, 5.0)
+    #: signature cost scale (EKF_SLAM_UC.m:16 → Correspondence.m:71).
+    s_cost: float = 1e-11
+    #: new-landmark gate threshold (EKF_SLAM_UC.m:16 → Correspondence.m:78).
+    s_thresh: float = 1e9
+    #: initial pose covariance diagonal (EKF_SLAM.m:30).
+    p0_diag: float = 0.1
+
+    #: association mode — see ASSOC_* constants.
+    association: str = ASSOC_SIGNATURE
+
+    #: reproduce the reference's numeric quirks exactly (SURVEY.md §2.3):
+    #:  - bearing innovation NOT re-wrapped after subtraction (EKF_SLAM_UC.m:145)
+    #:  - motion Jacobian evaluated at theta (pre-increment) and WITHOUT the
+    #:    pi/180 factor a degree-valued state requires (EKF_SLAM.m:62-64)
+    #:  - append Jacobians jz built from (dD, dTheta) instead of the
+    #:    inverse-measurement bearing (EKF_SLAM.m:87-88)
+    ref_compat: bool = True
+
+    #: Joseph-form covariance update (symmetric/PSD-preserving) instead of the
+    #: reference's (I-KH)P form (EKF_SLAM_UC.m:146) which loses symmetry.
+    joseph: bool = False
+    #: re-symmetrize P after each update (cheap PSD-drift guard).
+    symmetrize: bool = False
+
+    dtype: Any = jnp.float32
+
+    @property
+    def dim(self) -> int:
+        """Padded joint state dimension D = 3 + 2K."""
+        return 3 + 2 * self.capacity
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacParams:
+    """Landmark-extraction parameters (reference constants RANSAC.m:67-90)."""
+
+    #: inlier count needed for a line to count as a wall (RANSAC.m:67).
+    line_consensus: int = 300
+    #: max wall searches per scan (RANSAC.m:70).
+    wall_search_timeout: int = 3
+    #: points sampled to seed the trial line (RANSAC.m:73).
+    sample_points: int = 20
+    #: full width of the bearing window around the seed point (RANSAC.m:75).
+    bearing_window_deg: float = 5.0
+    #: max point-line distance for inliers (RANSAC.m:79).
+    inlier_dist: float = 0.25
+    #: candidate-to-candidate association radius (RANSAC.m:83).
+    assoc_dist: float = 0.50
+    #: sightings needed before promotion to an official landmark (RANSAC.m:87;
+    #: the check is strictly-greater after increment, RANSAC.m:261, so
+    #: promotion happens on sighting promote_count+1).
+    promote_count: int = 10
+    #: ticks an unpromoted candidate survives without decay reset (RANSAC.m:90;
+    #: decremented every tick at RANSAC.m:321-331 — it is a lifetime, not an
+    #: inactivity timer).
+    freshness: int = 50
+
+    #: candidate-table capacity (reference list grows unbounded, RANSAC.m:297).
+    table_capacity: int = 256
+    #: two-quadrant atand(y/x) bearing window (RANSAC.m:160-166 quirk) instead
+    #: of four-quadrant atan2d.
+    ref_compat: bool = True
+    #: write-back of filter estimates into the extractor table: the reference
+    #: loop `for ii=(len-3)/2` iterates a single value so only the LAST state
+    #: landmark is written back (RANSAC.m:355).  False → write back all.
+    writeback_last_only: bool = True
+
+    dtype: Any = jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Deterministic simulator replacing the ROS seam (SLAM.m:73-74,118)."""
+
+    n_beams: int = 1024
+    fov_deg: float = 360.0
+    max_range: float = 8.0
+    range_noise_std: float = 0.01
+    #: odometry noise injected on the dead-reckoned pose deltas
+    odom_xy_noise_std: float = 0.002
+    odom_theta_noise_std: float = 0.05
+    dtype: Any = jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for the sharded filter (no reference analog —
+    the reference is single-threaded MATLAB, SURVEY.md §2)."""
+
+    #: devices along the map/landmark-tile axis.
+    map_axis: int = 1
+    axis_name: str = "map"
+
+
+def ref_compat_uc(capacity: int = 128, **kw) -> EKFParams:
+    """EKF_SLAM_UC preset (EKF_SLAM_UC.m:12-16)."""
+    return EKFParams(capacity=capacity, rc=(0.1, 5.0),
+                     association=ASSOC_SIGNATURE, ref_compat=True, **kw)
+
+
+def ref_compat_known(capacity: int = 128, **kw) -> EKFParams:
+    """EKF_SLAM preset, known correspondence (EKF_SLAM.m:12-16)."""
+    return EKFParams(capacity=capacity, rc=(0.01, 5.0),
+                     association=ASSOC_KNOWN, ref_compat=True, **kw)
+
+
+def sim_ransac(n_beams: int = 1024, **kw) -> RansacParams:
+    """RANSAC preset scaled to the simulator's beam density.
+
+    The reference constants assume a dense Kinect scan (~640+ returns per
+    wall); with ``n_beams`` over 360 deg each wall subtends far fewer beams,
+    so the consensus scales proportionally.
+    """
+    consensus = max(20, int(300 * n_beams / 640 / 8))
+    return RansacParams(line_consensus=consensus, bearing_window_deg=20.0,
+                        **kw)

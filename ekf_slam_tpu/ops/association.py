@@ -1,0 +1,103 @@
+"""Batched data association (maximum-likelihood gating).
+
+The reference loops over every landmark per observation, building a dense
+5×(3+2N) projection and a full H·P·Hᵀ inside the loop
+(Correspondence.m:49-87) — O(N³) per observation worst case.  Here the gate
+is computed for **all K landmark slots at once**: Φ_k only touches P's pose
+block, the pose↔landmark strip, and the per-landmark 2×2 diagonal blocks, so
+the whole gate is a handful of batched [K,2,·] contractions — O(K) work and
+one strip read of P.
+
+Shipped-reference behavior: the Mahalanobis position cost is computed and
+then **discarded** — only the signature cost is used (Correspondence.m:69-75).
+``params.association`` selects signature-only (ref-compat) or the full ML
+gate the machinery was built for.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..config import ASSOC_ML, EKFParams
+from .angles import atan2d, wrap_to_180, wrap_to_360
+
+
+def gate_costs(state, z: jnp.ndarray, R2: jnp.ndarray, params: EKFParams
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-slot (position_cost, signature_cost) against measurement z.
+
+    Vectorizes Correspondence.m:49-75 over all K slots.  Inactive slots are
+    masked to +inf by the caller via ``state.active``."""
+    x, P = state.x, state.P
+    K = state.capacity
+    th = x[2]
+
+    lm = state.landmarks                       # [K,2]
+    delta = lm - x[:2]                         # [K,2]
+    q = jnp.sum(delta * delta, axis=-1)        # [K]
+    q = jnp.where(q == 0, jnp.ones_like(q), q)  # guard empty slots
+    sq = jnp.sqrt(q)
+    dx, dy = delta[:, 0], delta[:, 1]
+
+    zhat_r = sq
+    zhat_phi = wrap_to_360(atan2d(dy, dx) - th)
+    nu = jnp.stack([z[0] - zhat_r, z[1] - zhat_phi], axis=-1)   # [K,2]
+    if not params.ref_compat:
+        nu = nu.at[:, 1].set(wrap_to_180(nu[:, 1]))
+
+    zero = jnp.zeros_like(q)
+    # H_k = [A_k | B_k] over (pose, landmark_k)  (Correspondence.m:62-63)
+    A = jnp.stack([
+        jnp.stack([-sq * dx, -sq * dy, zero], axis=-1),
+        jnp.stack([dy, -dx, -q], axis=-1),
+    ], axis=1) / q[:, None, None]              # [K,2,3]
+    B = jnp.stack([
+        jnp.stack([sq * dx, sq * dy], axis=-1),
+        jnp.stack([-dy, dx], axis=-1),
+    ], axis=1) / q[:, None, None]              # [K,2,2]
+
+    Prr = P[:3, :3]                            # [3,3]
+    Prl = P[:3, 3:].reshape(3, K, 2).transpose(1, 0, 2)        # [K,3,2]
+    kidx = jnp.arange(K)
+    Pll = P[3:, 3:].reshape(K, 2, K, 2)[kidx, :, kidx, :]      # [K,2,2]
+
+    APrl = jnp.matmul(A, Prl)                  # [K,2,2]
+    Phi = (jnp.matmul(jnp.matmul(A, Prr[None]), A.transpose(0, 2, 1))
+           + jnp.matmul(APrl, B.transpose(0, 2, 1))
+           + jnp.matmul(B, APrl.transpose(0, 2, 1))
+           + jnp.matmul(jnp.matmul(B, Pll), B.transpose(0, 2, 1))
+           + R2[None].astype(P.dtype))         # [K,2,2]
+
+    # batched 2x2 solve: position_cost = nu' Phi^-1 nu  (Correspondence.m:69)
+    det = (Phi[:, 0, 0] * Phi[:, 1, 1] - Phi[:, 0, 1] * Phi[:, 1, 0])
+    inv00, inv11 = Phi[:, 1, 1] / det, Phi[:, 0, 0] / det
+    inv01, inv10 = -Phi[:, 0, 1] / det, -Phi[:, 1, 0] / det
+    n0, n1 = nu[:, 0], nu[:, 1]
+    position_cost = (n0 * (inv00 * n0 + inv01 * n1)
+                     + n1 * (inv10 * n0 + inv11 * n1))
+
+    sc = jnp.asarray(params.s_cost, P.dtype)
+    signature_cost = (z[2] - state.sig) ** 2 / sc              # Corresp.m:71
+    return position_cost, signature_cost
+
+
+def gate(state, z: jnp.ndarray, R2: jnp.ndarray, params: EKFParams
+         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Associate measurement z: returns (is_new, slot, cost_vector).
+
+    Mirrors the accept logic at Correspondence.m:78-86: a slot associates iff
+    its cost ≤ s_thresh; among passing slots the first minimum wins
+    (jnp.argmin = first occurrence, matching the strict-< update rule)."""
+    position_cost, signature_cost = gate_costs(state, z, R2, params)
+    if params.association == ASSOC_ML:
+        # the intent the reference commented out (Correspondence.m:74)
+        cost = position_cost + signature_cost
+    else:
+        cost = signature_cost                  # shipped behavior (:75)
+    inf = jnp.asarray(jnp.inf, cost.dtype)
+    cost = jnp.where(state.active, cost, inf)
+    passes = cost <= jnp.asarray(params.s_thresh, cost.dtype)
+    is_new = jnp.logical_not(jnp.any(passes))
+    slot = jnp.argmin(jnp.where(passes, cost, inf)).astype(jnp.int32)
+    return is_new, slot, cost

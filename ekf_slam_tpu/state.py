@@ -1,0 +1,76 @@
+"""Fixed-capacity, jit-stable SLAM filter state.
+
+The reference grows its joint state by concatenation on every new landmark
+(EKF_SLAM.m:79 ``h.x=[h.x, lx, ly]``, :91-97 covariance block growth), so every
+shape is dynamic.  On TPU that would force a recompile per landmark; instead
+the state is padded to a fixed capacity K and "append" becomes a masked write
+(SURVEY.md §7).  The whole filter state is one pytree, which also makes
+checkpoint/resume (utils/checkpointing.py) a single serialization.
+
+Layout: ``x = [xr, yr, theta_deg, l0x, l0y, l1x, l1y, ...]`` with
+``D = 3 + 2K``; landmark slot ``k`` occupies state rows ``3+2k : 5+2k``.
+Inactive slots hold zeros in ``x`` and zero rows/cols in ``P`` so sparse
+updates touching them are automatic no-ops.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .config import EKFParams
+
+
+class FilterState(NamedTuple):
+    """Joint robot+landmark EKF state (one pytree).
+
+    Mirrors the reference's ``h.x`` / ``h.P`` / ``h.s`` properties
+    (EKF_SLAM.m:6-9) plus the explicit active-mask bookkeeping that the
+    reference encodes implicitly in array length.
+    """
+
+    x: jnp.ndarray        # f[D]      joint mean, theta in degrees at x[2]
+    P: jnp.ndarray        # f[D, D]   joint covariance (dense, padded)
+    sig: jnp.ndarray      # f[K]      landmark signatures (EKF_SLAM.m:9)
+    active: jnp.ndarray   # bool[K]   slot occupied
+    n_active: jnp.ndarray  # i32 ()   number of active landmarks
+
+    @property
+    def capacity(self) -> int:
+        return self.sig.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def pose(self) -> jnp.ndarray:
+        """Robot pose [x, y, theta_deg]."""
+        return self.x[:3]
+
+    @property
+    def landmarks(self) -> jnp.ndarray:
+        """Landmark positions as f[K, 2] (padded; see ``active``)."""
+        return self.x[3:].reshape(-1, 2)
+
+
+def init_state(params: EKFParams) -> FilterState:
+    """Initial state: origin pose, P = 0.1*I on the pose block
+    (EKF_SLAM.m:28-31), empty landmark set."""
+    D, K = params.dim, params.capacity
+    dt = params.dtype
+    x = jnp.zeros((D,), dt)
+    P = jnp.zeros((D, D), dt).at[jnp.arange(3), jnp.arange(3)].set(
+        jnp.asarray(params.p0_diag, dt))
+    return FilterState(
+        x=x,
+        P=P,
+        sig=jnp.zeros((K,), dt),
+        active=jnp.zeros((K,), bool),
+        n_active=jnp.zeros((), jnp.int32),
+    )
+
+
+def lm_slice_index(k) -> jnp.ndarray:
+    """State row of landmark slot k (0-based): 3 + 2k."""
+    return 3 + 2 * k
