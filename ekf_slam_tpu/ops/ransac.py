@@ -1,0 +1,345 @@
+"""RANSAC wall/landmark extraction — JAX-native, fixed-shape.
+
+Re-design of the reference extractor (RANSAC.m:14-152):
+
+* the sequential ``while`` hypothesis loop (RANSAC.m:114-128) becomes a
+  ``lax.scan`` over a fixed number of rounds, each fully vectorized over all
+  beams (mask instead of deletion);
+* the Symbolic-Toolbox 2×2 solve for the perpendicular foot (RANSAC.m:223-227)
+  becomes the closed form (−mb, b)/(1+m²);
+* the growing landmark struct array (RANSAC.m:238-300) becomes a
+  fixed-capacity masked table with the same observe-count / promotion /
+  freshness semantics.
+
+The candidate-table semantics intentionally reproduce reference quirks
+(SURVEY.md §2.3): the two-quadrant atand bearing window (RANSAC.m:160-166),
+increment-of-all-matches-within-radius (the ``jj=size(...)`` non-break at
+RANSAC.m:289), promotion strictly after promote_count sightings
+(RANSAC.m:261), empty-table ticks seeding only the first candidate
+(RANSAC.m:236-241), decay running only on ticks with ≥1 candidate
+(RANSAC.m:133-148), and landmark = perpendicular foot from the WORLD ORIGIN
+(RANSAC.m:220).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import RansacParams
+from .angles import atan2d, atand, wrap_to_360
+from .observations import ObsBatch
+from .scan import Scan, scan_to_world
+
+
+class LandmarkTable(NamedTuple):
+    """Fixed-capacity candidate table (reference struct array
+    ``{loc, observe, index, fresh}``, RANSAC.m:238-241)."""
+
+    loc: jnp.ndarray      # f[C,2]  world position (promoted: snapped to latest)
+    observe: jnp.ndarray  # i32[C]  sighting count
+    index: jnp.ndarray    # i32[C]  0 = unpromoted candidate
+    fresh: jnp.ndarray    # i32[C]  remaining lifetime while unpromoted
+    used: jnp.ndarray     # bool[C] slot occupied
+
+
+def init_table(params: RansacParams) -> LandmarkTable:
+    C = params.table_capacity
+    return LandmarkTable(
+        loc=jnp.zeros((C, 2), params.dtype),
+        observe=jnp.zeros((C,), jnp.int32),
+        index=jnp.zeros((C,), jnp.int32),
+        fresh=jnp.zeros((C,), jnp.int32),
+        used=jnp.zeros((C,), bool),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Line fitting (replaces polyfit/polyval + point-line distance loops,
+# RANSAC.m:184-215)
+# ---------------------------------------------------------------------------
+
+def fit_line(points: jnp.ndarray, w: jnp.ndarray
+             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Weighted least-squares y = m·x + b over masked points.
+
+    Returns (m, b, ok); ok is False for degenerate (vertical/empty) sets."""
+    w = w.astype(points.dtype)
+    n = jnp.sum(w)
+    n_safe = jnp.maximum(n, 1.0)
+    sx = jnp.sum(w * points[:, 0])
+    sy = jnp.sum(w * points[:, 1])
+    sxx = jnp.sum(w * points[:, 0] * points[:, 0])
+    sxy = jnp.sum(w * points[:, 0] * points[:, 1])
+    denom = sxx - sx * sx / n_safe
+    ok = (n >= 2) & (jnp.abs(denom) > 1e-12)
+    denom_safe = jnp.where(ok, denom, 1.0)
+    m = (sxy - sx * sy / n_safe) / denom_safe
+    b = (sy - m * sx) / n_safe
+    return m, b, ok
+
+
+def point_line_dist(points: jnp.ndarray, m, b) -> jnp.ndarray:
+    """Distance of each point to y = m·x + b (the cross-product form the
+    reference evaluates per point at RANSAC.m:190-198)."""
+    return jnp.abs(m * points[:, 0] - points[:, 1] + b) / jnp.sqrt(m * m + 1.0)
+
+
+def perpendicular_foot(m, b) -> jnp.ndarray:
+    """Foot of the perpendicular from the world origin to y = m·x + b —
+    closed form for the symbolic solve at RANSAC.m:217-232."""
+    d = 1.0 + m * m
+    return jnp.stack([-m * b / d, b / d])
+
+
+# ---------------------------------------------------------------------------
+# Wall search (RANSAC.m:109-128: up to `wall_search_timeout` rounds)
+# ---------------------------------------------------------------------------
+
+def find_walls(points: jnp.ndarray, valid: jnp.ndarray, key: jnp.ndarray,
+               params: RansacParams
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Extract up to T=wall_search_timeout wall lines from world points.
+
+    Returns (lines [T,2] as (m,b), line_ok [T], remaining_valid mask)."""
+    B = points.shape[0]
+    T = params.wall_search_timeout
+    bearing = (atand(points[:, 1] / jnp.where(points[:, 0] == 0, 1e-12,
+                                              points[:, 0]))
+               if params.ref_compat else atan2d(points[:, 1], points[:, 0]))
+    half_win = params.bearing_window_deg / 2.0
+
+    def round_fn(carry, rkey):
+        avail = carry
+        k_pick, k_sample = jax.random.split(rkey)
+        navail = jnp.sum(avail)
+        run = navail > params.line_consensus       # RANSAC.m:114 loop guard
+
+        # -- sample a random available point (datasample, RANSAC.m:157)
+        u = jax.random.uniform(k_pick, (B,))
+        seed_i = jnp.argmax(jnp.where(avail, u, -1.0))
+        cb = bearing[seed_i]
+
+        # -- bearing window around it (RANSAC.m:160-171)
+        in_win = avail & (bearing <= cb + half_win) & (bearing >= cb - half_win)
+        n_win = jnp.sum(in_win)
+        enough = n_win > params.sample_points      # RANSAC.m:176 strict >
+
+        # -- sample_points random window points for the seed fit
+        s = jax.random.uniform(k_sample, (B,))
+        s = jnp.where(in_win, s, -jnp.inf)
+        _, top_idx = lax.top_k(s, params.sample_points)
+        sel = jnp.zeros((B,), bool).at[top_idx].set(True) & in_win
+
+        # -- seed line + inliers over ALL remaining points (RANSAC.m:185-198)
+        m0, b0, fit_ok = fit_line(points, sel)
+        d = point_line_dist(points, m0, b0)
+        inl = avail & (d < params.inlier_dist)
+        n_inl = jnp.sum(inl)
+        wall = (run & enough & fit_ok
+                & (n_inl > params.line_consensus))  # RANSAC.m:203 strict >
+
+        # -- refit on the inliers, remove them from the pool (RANSAC.m:206-209)
+        m1, b1, refit_ok = fit_line(points, inl)
+        wall = wall & refit_ok
+        avail = jnp.where(wall, avail & ~inl, avail)
+        line = jnp.stack([m1, b1])
+        return avail, (line, wall)
+
+    keys = jax.random.split(key, T)
+    remaining, (lines, ok) = lax.scan(round_fn, valid, keys)
+    return lines, ok, remaining
+
+
+# ---------------------------------------------------------------------------
+# Candidate-table update (RANSAC.m:234-334)
+# ---------------------------------------------------------------------------
+
+class _ObsScratch(NamedTuple):
+    """Per-table-entry record of this tick's first observation."""
+    flag: jnp.ndarray   # bool[C] entry observed (indexed) this tick
+    dist: jnp.ndarray   # f[C]
+    ang: jnp.ndarray    # f[C]
+    loc: jnp.ndarray    # f[C,2] snapped location at record time
+    stamp: jnp.ndarray  # i32[C] record order (for output ordering)
+
+
+def update_table(table: LandmarkTable, cands: jnp.ndarray,
+                 cand_ok: jnp.ndarray, pose: jnp.ndarray,
+                 params: RansacParams, max_obs: int
+                 ) -> Tuple[ObsBatch, LandmarkTable]:
+    """Associate candidates to the table; promote / snap / record / decay.
+
+    Vectorized form of getOutputLandmarkListAndObservedLandmarkList
+    (RANSAC.m:234-334) processing candidates sequentially (their order
+    matters for promotion indices and output ordering) but each candidate's
+    table pass in parallel."""
+    C = params.table_capacity
+    dt = params.dtype
+    any_cand = jnp.any(cand_ok)
+    table_empty = ~jnp.any(table.used)
+
+    def seed_first(tbl: LandmarkTable) -> LandmarkTable:
+        # Empty table: seed with the FIRST candidate only (RANSAC.m:236-241;
+        # the remaining candidates are dropped this tick — reference quirk).
+        first = jnp.argmax(cand_ok)
+        return LandmarkTable(
+            loc=tbl.loc.at[0].set(cands[first].astype(dt)),
+            observe=tbl.observe.at[0].set(1),
+            index=tbl.index.at[0].set(0),
+            fresh=tbl.fresh.at[0].set(params.freshness),
+            used=tbl.used.at[0].set(True),
+        )
+
+    def associate(tbl: LandmarkTable) -> Tuple[LandmarkTable, _ObsScratch]:
+        scratch = _ObsScratch(
+            flag=jnp.zeros((C,), bool),
+            dist=jnp.zeros((C,), dt),
+            ang=jnp.zeros((C,), dt),
+            loc=jnp.zeros((C, 2), dt),
+            stamp=jnp.full((C,), jnp.iinfo(jnp.int32).max, jnp.int32),
+        )
+
+        def per_cand(carry, ci):
+            tbl, scr = carry
+            cand = cands[ci]
+            ok = cand_ok[ci]
+            d = jnp.linalg.norm(tbl.loc - cand[None, :], axis=-1)
+            match = tbl.used & (d < params.assoc_dist) & ok
+            any_match = jnp.any(match)
+
+            # increment every match (the reference's broken break at
+            # RANSAC.m:289 means ALL entries within radius increment)
+            observe = tbl.observe + match.astype(jnp.int32)
+
+            # promotion: observe > consensus, not yet indexed (RANSAC.m:261);
+            # simultaneous promotions get sequential indices in slot order.
+            newly = match & (observe > params.promote_count) & (tbl.index == 0)
+            max_idx = jnp.max(tbl.index)
+            order = jnp.cumsum(newly.astype(jnp.int32))
+            index = jnp.where(newly, max_idx + order, tbl.index)
+
+            # indexed matches snap loc to the measurement (RANSAC.m:267-268)
+            indexed_match = match & (index != 0)
+            loc = jnp.where(indexed_match[:, None], cand[None, :], tbl.loc)
+
+            # record observation rows at first touch (dedupe by entry —
+            # the reference dedupes by index, RANSAC.m:279-284)
+            delta = cand - pose[:2]
+            dist = jnp.linalg.norm(delta)
+            ang = wrap_to_360(atan2d(delta[1], delta[0]) - pose[2])
+            first_touch = indexed_match & ~scr.flag
+            scr = _ObsScratch(
+                flag=scr.flag | indexed_match,
+                dist=jnp.where(first_touch, dist.astype(dt), scr.dist),
+                ang=jnp.where(first_touch, ang.astype(dt), scr.ang),
+                loc=jnp.where(first_touch[:, None], cand[None, :], scr.loc),
+                stamp=jnp.where(first_touch,
+                                ci * C + jnp.arange(C, dtype=jnp.int32),
+                                scr.stamp),
+            )
+
+            # unmatched candidate → new entry at first free slot
+            # (RANSAC.m:295-302); dropped when the table is full.
+            free = ~tbl.used
+            slot = jnp.argmax(free)
+            add = ok & ~any_match & jnp.any(free)
+            tbl = LandmarkTable(
+                loc=jnp.where(add, loc.at[slot].set(cand.astype(dt)), loc),
+                observe=jnp.where(add, observe.at[slot].set(1), observe),
+                index=jnp.where(add, index.at[slot].set(0), index),
+                fresh=jnp.where(add,
+                                tbl.fresh.at[slot].set(params.freshness),
+                                tbl.fresh),
+                used=jnp.where(add, tbl.used.at[slot].set(True), tbl.used),
+            )
+            return (tbl, scr), None
+
+        (tbl, scratch), _ = lax.scan(per_cand, (tbl, scratch),
+                                     jnp.arange(cands.shape[0],
+                                                dtype=jnp.int32))
+        return tbl, scratch
+
+    def no_op(tbl: LandmarkTable):
+        scratch = _ObsScratch(
+            flag=jnp.zeros((C,), bool), dist=jnp.zeros((C,), dt),
+            ang=jnp.zeros((C,), dt), loc=jnp.zeros((C, 2), dt),
+            stamp=jnp.full((C,), jnp.iinfo(jnp.int32).max, jnp.int32),
+        )
+        return tbl, scratch
+
+    table, scratch = lax.cond(
+        any_cand & table_empty,
+        lambda t: (seed_first(t), no_op(t)[1]),
+        lambda t: lax.cond(any_cand, associate, no_op, t),
+        table,
+    )
+
+    # freshness decay — runs only on ticks with ≥1 candidate (the reference
+    # skips the whole table function otherwise, RANSAC.m:133-148), and only
+    # for unpromoted entries (RANSAC.m:321-331).
+    def decay(tbl: LandmarkTable) -> LandmarkTable:
+        dec = tbl.used & (tbl.index == 0)
+        fresh = tbl.fresh - dec.astype(jnp.int32)
+        dead = dec & (fresh == 0)
+        return tbl._replace(fresh=fresh, used=tbl.used & ~dead)
+
+    table = lax.cond(any_cand, decay, lambda t: t, table)
+
+    # -- compact observation rows into the fixed ObsBatch, ordered by stamp
+    neg = scratch.flag
+    order = jnp.argsort(jnp.where(neg, scratch.stamp,
+                                  jnp.iinfo(jnp.int32).max))
+    take = order[:max_obs]
+    valid_rows = neg[take]
+    obs = ObsBatch(
+        rng=jnp.where(valid_rows, scratch.dist[take], 0.0).astype(dt),
+        bearing=jnp.where(valid_rows, scratch.ang[take], 0.0).astype(dt),
+        index=jnp.where(valid_rows, table.index[take], 0),
+        loc=jnp.where(valid_rows[:, None], scratch.loc[take], 0.0).astype(dt),
+        valid=valid_rows,
+    )
+    return obs, table
+
+
+# ---------------------------------------------------------------------------
+# Filter-state write-back (RANSAC.m:336-373)
+# ---------------------------------------------------------------------------
+
+def writeback(table: LandmarkTable, x: jnp.ndarray, n_active: jnp.ndarray,
+              params: RansacParams) -> LandmarkTable:
+    """Copy filter-estimated landmark positions into the table.
+
+    Reference quirk: ``for ii=(length(state_vector)-3)/2`` iterates a single
+    value, so only the LAST state landmark is written back (RANSAC.m:355);
+    ``writeback_last_only=False`` writes back all (the evident intent)."""
+    K = (x.shape[0] - 3) // 2
+    lm = x[3:].reshape(K, 2)
+    idx = table.index                      # 1-based state landmark number
+    if params.writeback_last_only:
+        target = idx == n_active
+    else:
+        target = (idx >= 1) & (idx <= n_active)
+    target = target & table.used & (n_active > 0)
+    src = lm[jnp.clip(idx - 1, 0, K - 1)]
+    return table._replace(
+        loc=jnp.where(target[:, None], src.astype(table.loc.dtype), table.loc))
+
+
+# ---------------------------------------------------------------------------
+# Full extraction tick (RANSAC.getLandmark, RANSAC.m:14-152)
+# ---------------------------------------------------------------------------
+
+def extract(table: LandmarkTable, scan: Scan, x: jnp.ndarray,
+            n_active: jnp.ndarray, key: jnp.ndarray, params: RansacParams,
+            max_obs: int) -> Tuple[ObsBatch, LandmarkTable]:
+    """One extraction tick: write-back → world points → wall search →
+    perpendicular-foot landmarks → table update."""
+    table = writeback(table, x, n_active, params)
+    pose = x[:3]
+    pts = scan_to_world(scan, pose)
+    lines, line_ok, _ = find_walls(pts, scan.valid, key, params)
+    feet = jax.vmap(lambda l: perpendicular_foot(l[0], l[1]))(lines)
+    return update_table(table, feet, line_ok, pose, params, max_obs)
