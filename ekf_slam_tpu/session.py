@@ -1,0 +1,161 @@
+"""SLAM session orchestrator — the reference's SLAM.m re-imagined.
+
+The reference SLAM class wires algorithm selection (string dispatch,
+SLAM.m:26-39), ROS topic receive, odometry→control conversion, and the
+predict→measure→plot tick (SLAM.m:70-144).  Here the same roles exist but
+the tick is a pure function ``(carry, inputs) → carry`` compiled once with
+jit and driven by ``lax.scan`` over a whole sequence — so a full simulated
+session runs as ONE device program with zero host round-trips.
+
+Algorithm and extractor selection stay name-keyed registries, mirroring the
+reference's string-dispatch pattern (SLAM.m:26, Landmark.m:14-21).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import (ASSOC_KNOWN, ASSOC_SIGNATURE, EKFParams, RansacParams,
+                     ref_compat_known, ref_compat_uc)
+from .models import ekf
+from .ops.angles import angdiff_deg
+from .ops.observations import ObsBatch
+from .ops.ransac import LandmarkTable, extract, init_table
+from .ops.scan import Scan, scan_from_ranges
+from .state import FilterState, init_state
+
+# ---------------------------------------------------------------------------
+# Registries (string dispatch, as in SLAM.m:26-39 / Landmark.m:14-21)
+# ---------------------------------------------------------------------------
+
+ALGORITHMS: Dict[str, Callable[..., EKFParams]] = {
+    # known-correspondence filter (EKF_SLAM.m)
+    "EKF_SLAM": ref_compat_known,
+    # unknown correspondence via signature gate (EKF_SLAM_UC.m) — the
+    # reference's primary path (test_SLAM.m:14)
+    "EKF_SLAM_UC": ref_compat_uc,
+}
+
+EXTRACTORS = {"RANSAC": (init_table, extract)}
+
+
+class SessionCarry(NamedTuple):
+    """Everything that persists across ticks — one pytree, so the whole
+    session state is trivially checkpointable (utils/checkpointing.py)."""
+    filt: FilterState
+    table: LandmarkTable
+    old_odom: jnp.ndarray   # f[3] previous odometry pose (SLAM.m:100-113)
+    key: jnp.ndarray        # PRNG key for the extractor's sampling
+
+
+class StepOutput(NamedTuple):
+    pose: jnp.ndarray       # estimated robot pose after the tick
+    n_active: jnp.ndarray   # landmark count
+    n_obs: jnp.ndarray      # observations processed this tick
+    u: jnp.ndarray          # control used
+    obs: ObsBatch           # the tick's observation batch (for replay/parity)
+
+
+@dataclasses.dataclass
+class SlamSession:
+    """One live SLAM session: ``SlamSession('EKF_SLAM_UC').run(odom, scans)``.
+
+    Equivalent to the reference's ``s = SLAM('EKF_SLAM_UC'); while(1)
+    s.runSlam(); end`` (test_SLAM.m:14-18) with the ROS seam replaced by
+    explicit arrays.
+    """
+
+    algorithm: str = "EKF_SLAM_UC"
+    extractor: str = "RANSAC"
+    ekf_params: Optional[EKFParams] = None
+    ransac_params: Optional[RansacParams] = None
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.algorithm not in ALGORITHMS:
+            raise ValueError(
+                f"unknown algorithm {self.algorithm!r}; "
+                f"choose from {sorted(ALGORITHMS)}")
+        if self.extractor not in EXTRACTORS:
+            raise ValueError(
+                f"unknown extractor {self.extractor!r}; "
+                f"choose from {sorted(EXTRACTORS)}")
+        if self.ekf_params is None:
+            self.ekf_params = ALGORITHMS[self.algorithm]()
+        if self.ransac_params is None:
+            self.ransac_params = RansacParams(dtype=self.ekf_params.dtype)
+        self._init_table, self._extract = EXTRACTORS[self.extractor]
+        step = self._make_step()
+        self._step = jax.jit(step)
+
+        def scan_all(carry, odom_poses, ranges, beam_angles):
+            def body(c, inp):
+                o, r = inp
+                return step(c, o, r, beam_angles)
+            return jax.lax.scan(body, carry, (odom_poses, ranges))
+
+        self._run = jax.jit(scan_all)
+
+    # -- construction -------------------------------------------------------
+    def init_carry(self, first_odom=None) -> SessionCarry:
+        filt = init_state(self.ekf_params)
+        old = (jnp.zeros((3,), self.ekf_params.dtype)
+               if first_odom is None
+               else jnp.asarray(first_odom, self.ekf_params.dtype))
+        return SessionCarry(
+            filt=filt,
+            table=self._init_table(self.ransac_params),
+            old_odom=old,
+            key=jax.random.PRNGKey(self.seed),
+        )
+
+    def _make_step(self):
+        ep, rp = self.ekf_params, self.ransac_params
+
+        def step(carry: SessionCarry, odom_pose, ranges, beam_angles
+                 ) -> Tuple[SessionCarry, StepOutput]:
+            # control from consecutive odometry poses (SLAM.m:105-107)
+            dD = jnp.sqrt((odom_pose[0] - carry.old_odom[0]) ** 2
+                          + (odom_pose[1] - carry.old_odom[1]) ** 2)
+            dTh = angdiff_deg(carry.old_odom[2], odom_pose[2])
+            u = jnp.stack([dD, dTh]).astype(ep.dtype)
+
+            filt = ekf.predict(carry.filt, u, ep)          # SLAM.m:110
+
+            key, sub = jax.random.split(carry.key)
+            scan = scan_from_ranges(ranges, beam_angles)
+            obs, table = self._extract(carry.table, scan, filt.x,
+                                       filt.n_active, sub, rp, ep.max_obs)
+            filt = ekf.measure(filt, obs, u, ep)           # SLAM.m:116
+
+            out = StepOutput(pose=filt.x[:3],
+                             n_active=filt.n_active,
+                             n_obs=jnp.sum(obs.valid).astype(jnp.int32),
+                             u=u, obs=obs)
+            return SessionCarry(filt, table, odom_pose.astype(ep.dtype),
+                                key), out
+
+        return step
+
+    # -- public API ---------------------------------------------------------
+    def step(self, carry: SessionCarry, odom_pose, ranges, beam_angles
+             ) -> Tuple[SessionCarry, StepOutput]:
+        """One runSlam() tick (SLAM.m:70-144 minus plotting)."""
+        return self._step(carry, jnp.asarray(odom_pose),
+                          jnp.asarray(ranges), jnp.asarray(beam_angles))
+
+    def run(self, odom_poses, ranges, beam_angles,
+            carry: Optional[SessionCarry] = None
+            ) -> Tuple[SessionCarry, StepOutput]:
+        """Run a whole sequence as one fused lax.scan device program.
+
+        odom_poses: f[T,3]; ranges: f[T,B]; beam_angles: f[B].
+        Returns the final carry and stacked per-tick outputs.
+        """
+        if carry is None:
+            carry = self.init_carry(first_odom=odom_poses[0])
+        return self._run(carry, jnp.asarray(odom_poses),
+                         jnp.asarray(ranges), jnp.asarray(beam_angles))
