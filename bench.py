@@ -1,0 +1,133 @@
+"""Benchmark: EKF measurement-update throughput per chip @1k landmarks.
+
+Metric (BASELINE.json): updates/sec/chip — one "update" = ML data
+association (gate over all K landmarks, Correspondence.m:49-87 equivalent)
++ one Kalman update against the joint (3+2K)-dim covariance
+(EKF_SLAM_UC.m:125-146 equivalent).
+
+vs_baseline = TPU updates/sec divided by the NumPy oracle's updates/sec on
+this host — the oracle does the reference's dense per-landmark-loop algebra
+(the reference itself publishes no numbers, SURVEY.md §6; north star is
+>=10x this baseline per chip).
+
+Prints ONE JSON line to stdout.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ekf_slam_tpu.config import EKFParams
+from ekf_slam_tpu.models import ekf
+from ekf_slam_tpu.ops.association import gate
+from ekf_slam_tpu.oracle.np_ekf import NumpyEKFSLAM
+from ekf_slam_tpu.state import FilterState, init_state
+
+K = 1000          # landmarks (BASELINE "1k" config)
+N_OBS = 256       # updates per timed run
+N_ORACLE = 2      # oracle updates to time (each is seconds at 1k)
+
+
+def make_full_state(params: EKFParams, seed=0) -> FilterState:
+    """State with all K slots active and a well-conditioned dense P."""
+    rng = np.random.default_rng(seed)
+    st = init_state(params)
+    D = st.dim
+    lm = rng.uniform(-40, 40, (K, 2))
+    x = np.zeros(D, np.float64)
+    x[3:3 + 2 * K] = lm.reshape(-1)
+    A = rng.normal(0, 1, (D, 8)) / np.sqrt(D)
+    P = 0.05 * np.eye(D) + 0.02 * (A @ A.T)
+    return FilterState(
+        x=jnp.asarray(x, params.dtype),
+        P=jnp.asarray(P, params.dtype),
+        sig=jnp.arange(1, K + 1, dtype=params.dtype),
+        active=jnp.ones((K,), bool),
+        n_active=jnp.asarray(K, jnp.int32),
+    )
+
+
+def make_measurements(state: FilterState, n: int, seed=1):
+    """n observations, each the exact predicted measurement of a random
+    landmark (so the ML gate associates and the update path runs)."""
+    rng = np.random.default_rng(seed)
+    x = np.asarray(state.x, np.float64)
+    idx = rng.integers(0, K, n)
+    lm = x[3:3 + 2 * K].reshape(K, 2)[idx]
+    delta = lm - x[:2]
+    r = np.hypot(delta[:, 0], delta[:, 1])
+    b = np.mod(np.rad2deg(np.arctan2(delta[:, 1], delta[:, 0])) - x[2], 360.0)
+    return np.stack([r, b, (idx + 1).astype(np.float64)], axis=-1)
+
+
+def tpu_updates_per_sec(params: EKFParams) -> float:
+    state = make_full_state(params)
+    zs = jnp.asarray(make_measurements(state, N_OBS), params.dtype)
+    rc0, rc1 = params.rc
+
+    def one_update(st, z):
+        R2 = jnp.diag(jnp.stack([z[0] * rc0, z[1] * rc1])).astype(
+            params.dtype)
+        is_new, slot, _ = gate(st, z, R2, params)
+        return ekf.update(st, z, slot, R2, params), None
+
+    run = jax.jit(lambda st, zs: jax.lax.scan(one_update, st, zs)[0])
+    out = run(state, zs)                     # compile + warm
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = run(state, zs)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return N_OBS / dt
+
+
+def oracle_updates_per_sec() -> float:
+    rng = np.random.default_rng(0)
+    oracle = NumpyEKFSLAM(association="ml", s_cost=1e6, s_thresh=1e12)
+    lm = rng.uniform(-40, 40, (K, 2))
+    oracle.x = np.zeros(3 + 2 * K)
+    oracle.x[3:] = lm.reshape(-1)
+    D = len(oracle.x)
+    A = rng.normal(0, 1, (D, 8)) / np.sqrt(D)
+    oracle.P = 0.05 * np.eye(D) + 0.02 * (A @ A.T)
+    oracle.s = np.arange(1, K + 1, dtype=float)
+
+    idx = rng.integers(0, K, N_ORACLE)
+    delta = lm[idx] - oracle.x[:2]
+    r = np.hypot(delta[:, 0], delta[:, 1])
+    b = np.mod(np.rad2deg(np.arctan2(delta[:, 1], delta[:, 0]))
+               - oracle.x[2], 360.0)
+    zs = np.stack([r, b, (idx + 1).astype(float)], axis=-1)
+
+    t0 = time.perf_counter()
+    for z in zs:
+        R = np.diag([z[0] * 0.1, z[1] * 5.0])
+        is_new, k = oracle.correspond(z, R)
+        oracle.update(z, k if not is_new else int(z[2]) - 1, R)
+    dt = time.perf_counter() - t0
+    return N_ORACLE / dt
+
+
+def main():
+    params = EKFParams(capacity=K, association="ml", s_cost=1e6,
+                       s_thresh=1e12, ref_compat=False, dtype=jnp.float32)
+    tpu = tpu_updates_per_sec(params)
+    print(f"[bench] tpu: {tpu:.1f} updates/s @ {K} landmarks "
+          f"({jax.devices()[0].platform})", file=sys.stderr)
+    orc = oracle_updates_per_sec()
+    print(f"[bench] numpy oracle: {orc:.3f} updates/s", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"ekf_updates_per_sec_chip_{K}_landmarks",
+        "value": round(tpu, 2),
+        "unit": "updates/s",
+        "vs_baseline": round(tpu / orc, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

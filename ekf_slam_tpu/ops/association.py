@@ -58,9 +58,10 @@ def gate_costs(state, z: jnp.ndarray, R2: jnp.ndarray, params: EKFParams
     ], axis=1) / q[:, None, None]              # [K,2,2]
 
     Prr = P[:3, :3]                            # [3,3]
-    Prl = P[:3, 3:].reshape(3, K, 2).transpose(1, 0, 2)        # [K,3,2]
+    end = 3 + 2 * K                            # may be < dim if padded
+    Prl = P[:3, 3:end].reshape(3, K, 2).transpose(1, 0, 2)     # [K,3,2]
     kidx = jnp.arange(K)
-    Pll = P[3:, 3:].reshape(K, 2, K, 2)[kidx, :, kidx, :]      # [K,2,2]
+    Pll = P[3:end, 3:end].reshape(K, 2, K, 2)[kidx, :, kidx, :]  # [K,2,2]
 
     APrl = jnp.matmul(A, Prl)                  # [K,2,2]
     Phi = (jnp.matmul(jnp.matmul(A, Prr[None]), A.transpose(0, 2, 1))

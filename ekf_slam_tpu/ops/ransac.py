@@ -315,8 +315,8 @@ def writeback(table: LandmarkTable, x: jnp.ndarray, n_active: jnp.ndarray,
     Reference quirk: ``for ii=(length(state_vector)-3)/2`` iterates a single
     value, so only the LAST state landmark is written back (RANSAC.m:355);
     ``writeback_last_only=False`` writes back all (the evident intent)."""
-    K = (x.shape[0] - 3) // 2
-    lm = x[3:].reshape(K, 2)
+    K = (x.shape[0] - 3) // 2   # floor: x may carry mesh-padding rows
+    lm = x[3:3 + 2 * K].reshape(K, 2)
     idx = table.index                      # 1-based state landmark number
     if params.writeback_last_only:
         target = idx == n_active

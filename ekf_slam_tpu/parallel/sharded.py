@@ -1,0 +1,130 @@
+"""Sharded SLAM session: covariance row-tiles over a TPU mesh.
+
+The joint covariance P is the only state that scales (D² at D = 3+2K; 1.6 GB
+at f32 for K = 10k) — everything else is O(K).  The map-scale design
+(SURVEY.md §5 "long-context analog", BASELINE.json configs 4-5):
+
+* ``P`` is sharded row-wise over the ``map`` axis — each device owns a
+  horizontal strip ``P[rows_d, :]``.
+* The rank-2 measurement update is naturally local: ``PHᵀ = G @ Hsᵀ`` needs
+  only local rows (columns of P are fully present in each row strip), the
+  2×2 innovation solve is replicated, and ``P −= K·(HP)`` is a local
+  outer-product per strip.  The only collectives are gathers of the five
+  H-relevant rows of P/PHᵀ — O(D) bytes per observation over ICI, the EKF
+  analog of the Schur-complement cross-tile combine.
+* ``predict`` touches rows/cols 0..2 only: one row broadcast + local axpys.
+
+All of this falls out of the single-chip filter functions (models/ekf.py)
+under GSPMD: the code is reused verbatim, with shardings pinned on the carry
+via ``jax.lax.with_sharding_constraint`` so XLA keeps P distributed instead
+of gathering it.  ``shard_map`` kernels for the hot paths live in
+ops/pallas/ as a later optimization layer.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import EKFParams, RansacParams
+from ..models import ekf
+from ..ops.angles import angdiff_deg
+from ..ops.ransac import extract, init_table
+from ..ops.scan import scan_from_ranges
+from ..session import SessionCarry, StepOutput
+from ..state import FilterState, init_state, round_up
+
+
+def _constrain(filt: FilterState, mesh: Mesh) -> FilterState:
+    """Pin the covariance's row sharding (and replicate the small leaves)."""
+    row = NamedSharding(mesh, P("map", None))
+    rep = NamedSharding(mesh, P())
+    return FilterState(
+        x=jax.lax.with_sharding_constraint(filt.x, rep),
+        P=jax.lax.with_sharding_constraint(filt.P, row),
+        sig=jax.lax.with_sharding_constraint(filt.sig, rep),
+        active=jax.lax.with_sharding_constraint(filt.active, rep),
+        n_active=filt.n_active,
+    )
+
+
+@dataclasses.dataclass
+class ShardedSlamSession:
+    """Map-sharded session (BASELINE.json config 4: covariance tiles over a
+    1-host TPU mesh).  API mirrors session.SlamSession."""
+
+    mesh: Mesh
+    ekf_params: EKFParams = None
+    ransac_params: Optional[RansacParams] = None
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.ekf_params is None:
+            self.ekf_params = EKFParams()
+        if self.ransac_params is None:
+            self.ransac_params = RansacParams(dtype=self.ekf_params.dtype)
+        self.n_map = self.mesh.shape["map"]
+        ep, rp = self.ekf_params, self.ransac_params
+        mesh = self.mesh
+
+        def step(carry: SessionCarry, odom_pose, ranges, beam_angles
+                 ) -> Tuple[SessionCarry, StepOutput]:
+            dD = jnp.sqrt((odom_pose[0] - carry.old_odom[0]) ** 2
+                          + (odom_pose[1] - carry.old_odom[1]) ** 2)
+            dTh = angdiff_deg(carry.old_odom[2], odom_pose[2])
+            u = jnp.stack([dD, dTh]).astype(ep.dtype)
+
+            filt = _constrain(carry.filt, mesh)
+            filt = _constrain(ekf.predict(filt, u, ep), mesh)
+
+            key, sub = jax.random.split(carry.key)
+            scan = scan_from_ranges(ranges, beam_angles)
+            obs, table = extract(carry.table, scan, filt.x, filt.n_active,
+                                 sub, rp, ep.max_obs)
+            filt = _constrain(ekf.measure(filt, obs, u, ep), mesh)
+
+            out = StepOutput(pose=filt.x[:3], n_active=filt.n_active,
+                             n_obs=jnp.sum(obs.valid).astype(jnp.int32),
+                             u=u, obs=obs)
+            return SessionCarry(filt, table, odom_pose.astype(ep.dtype),
+                                key), out
+
+        self._step = jax.jit(step)
+
+        def scan_all(carry, odom_poses, ranges, beam_angles):
+            def body(c, inp):
+                o, r = inp
+                return step(c, o, r, beam_angles)
+            return jax.lax.scan(body, carry, (odom_poses, ranges))
+
+        self._run = jax.jit(scan_all)
+
+    # -- construction -------------------------------------------------------
+    def init_carry(self, first_odom=None) -> SessionCarry:
+        filt = init_state(self.ekf_params,
+                          pad_to_multiple_of=8 * self.n_map)
+        filt = jax.device_put(filt, NamedSharding(self.mesh, P()))
+        filt = filt._replace(P=jax.device_put(
+            filt.P, NamedSharding(self.mesh, P("map", None))))
+        old = (jnp.zeros((3,), self.ekf_params.dtype) if first_odom is None
+               else jnp.asarray(first_odom, self.ekf_params.dtype))
+        return SessionCarry(
+            filt=filt,
+            table=init_table(self.ransac_params),
+            old_odom=old,
+            key=jax.random.PRNGKey(self.seed),
+        )
+
+    # -- public API ---------------------------------------------------------
+    def step(self, carry, odom_pose, ranges, beam_angles):
+        return self._step(carry, jnp.asarray(odom_pose),
+                          jnp.asarray(ranges), jnp.asarray(beam_angles))
+
+    def run(self, odom_poses, ranges, beam_angles, carry=None):
+        if carry is None:
+            carry = self.init_carry(first_odom=odom_poses[0])
+        return self._run(carry, jnp.asarray(odom_poses),
+                         jnp.asarray(ranges), jnp.asarray(beam_angles))

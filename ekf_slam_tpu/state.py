@@ -50,14 +50,28 @@ class FilterState(NamedTuple):
 
     @property
     def landmarks(self) -> jnp.ndarray:
-        """Landmark positions as f[K, 2] (padded; see ``active``)."""
-        return self.x[3:].reshape(-1, 2)
+        """Landmark positions as f[K, 2] (padded; see ``active``).
+
+        Sliced by capacity, not to the end: ``dim`` may exceed 3+2K when the
+        state is padded for even sharding over a device mesh."""
+        K = self.capacity
+        return self.x[3:3 + 2 * K].reshape(K, 2)
 
 
-def init_state(params: EKFParams) -> FilterState:
+def round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def init_state(params: EKFParams, pad_to_multiple_of: int = 1) -> FilterState:
     """Initial state: origin pose, P = 0.1*I on the pose block
-    (EKF_SLAM.m:28-31), empty landmark set."""
+    (EKF_SLAM.m:28-31), empty landmark set.
+
+    ``pad_to_multiple_of``: round the joint dimension D up so covariance
+    row-tiles divide evenly over a device mesh (D = 3+2K is odd, so sharded
+    runs always need padding).  Extra rows are permanent zeros — every
+    filter op is already masked by capacity/active."""
     D, K = params.dim, params.capacity
+    D = round_up(D, pad_to_multiple_of)
     dt = params.dtype
     x = jnp.zeros((D,), dt)
     P = jnp.zeros((D, D), dt).at[jnp.arange(3), jnp.arange(3)].set(

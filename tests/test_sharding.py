@@ -1,0 +1,75 @@
+"""Multi-chip logic on the virtual 8-device CPU mesh (SURVEY.md §4.4).
+
+Validates that (a) the sharded session produces the same numbers as the
+single-device one, (b) P actually stays distributed as row tiles, and
+(c) the padded state dimension divides the mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ekf_slam_tpu.config import EKFParams, RansacParams
+from ekf_slam_tpu.parallel.mesh import make_mesh, row_sharding
+from ekf_slam_tpu.parallel.sharded import ShardedSlamSession
+from ekf_slam_tpu.session import SlamSession
+from ekf_slam_tpu.state import init_state
+
+from test_sim_session import SIM_RANSAC, make_traj
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_mesh_and_padding():
+    mesh = make_mesh()
+    assert mesh.shape["map"] == 8
+    ep = EKFParams(capacity=16, dtype=jnp.float64)
+    st = init_state(ep, pad_to_multiple_of=8 * mesh.shape["map"])
+    assert st.dim % (8 * mesh.shape["map"]) == 0
+    assert st.capacity == 16
+    # landmarks property unaffected by padding
+    assert st.landmarks.shape == (16, 2)
+
+
+def test_sharded_matches_unsharded():
+    traj, _ = make_traj(T=40)
+    ep = EKFParams(capacity=16, max_obs=8, ref_compat=False,
+                   dtype=jnp.float64)
+    ref = SlamSession(ekf_params=ep, ransac_params=SIM_RANSAC, seed=5)
+    c_ref, o_ref = ref.run(traj.odom, traj.ranges, traj.beam_angles)
+
+    mesh = make_mesh()
+    sh = ShardedSlamSession(mesh=mesh, ekf_params=ep,
+                            ransac_params=SIM_RANSAC, seed=5)
+    c_sh, o_sh = sh.run(traj.odom, traj.ranges, traj.beam_angles)
+
+    assert int(c_ref.filt.n_active) == int(c_sh.filt.n_active)
+    d = 3 + 2 * int(c_ref.filt.n_active)
+    np.testing.assert_allclose(np.asarray(c_sh.filt.x[:d]),
+                               np.asarray(c_ref.filt.x[:d]),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(c_sh.filt.P[:d, :d]),
+                               np.asarray(c_ref.filt.P[:d, :d]),
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(o_sh.pose),
+                               np.asarray(o_ref.pose), atol=1e-9)
+
+
+def test_covariance_stays_sharded():
+    """P must remain distributed row tiles after a step — no silent
+    all-gather back to one device."""
+    traj, _ = make_traj(T=3)
+    ep = EKFParams(capacity=16, max_obs=8, ref_compat=False,
+                   dtype=jnp.float64)
+    mesh = make_mesh()
+    sh = ShardedSlamSession(mesh=mesh, ekf_params=ep,
+                            ransac_params=SIM_RANSAC, seed=5)
+    carry = sh.init_carry(first_odom=traj.odom[0])
+    carry, _ = sh.step(carry, traj.odom[1], traj.ranges[1],
+                       traj.beam_angles)
+    P = carry.filt.P
+    # sharded over 8 devices: each addressable shard holds D/8 rows
+    shards = P.addressable_shards
+    assert len(shards) == 8
+    rows = {s.data.shape[0] for s in shards}
+    assert rows == {P.shape[0] // 8}
