@@ -1,20 +1,29 @@
-"""Benchmark: EKF measurement-update throughput per chip @1k landmarks.
+"""Benchmark: EKF measurement-update throughput per chip.
 
-Metric (BASELINE.json): updates/sec/chip — one "update" = ML data
-association (gate over all K landmarks, Correspondence.m:49-87 equivalent)
-+ one Kalman update against the joint (3+2K)-dim covariance
-(EKF_SLAM_UC.m:125-146 equivalent).
+Metric (BASELINE.json): updates/sec/chip at 1k (and optionally 10k)
+landmarks — one "update" = ML data association (gate over all K landmarks,
+Correspondence.m:49-87 equivalent) + a Kalman update against the joint
+(3+2K)-dim covariance (EKF_SLAM_UC.m:125-146 equivalent).
 
-vs_baseline = TPU updates/sec divided by the NumPy oracle's updates/sec on
-this host — the oracle does the reference's dense per-landmark-loop algebra
+Two scheduling modes are timed:
+  * sequential — the reference's per-observation chain (one pass over P
+    per observation), bit-parity semantics;
+  * batched    — the joint rank-2M innovation update (models/batched.py),
+    one pass over P per BATCH of observations: the TPU fast path and the
+    headline number.
+
+vs_baseline = TPU updates/sec over the NumPy oracle's updates/sec on this
+host; the oracle performs the reference's dense per-landmark-loop algebra
 (the reference itself publishes no numbers, SURVEY.md §6; north star is
->=10x this baseline per chip).
+>=10x per chip).
 
-Prints ONE JSON line to stdout.
+Prints ONE JSON line to stdout; details go to stderr.
+Env: BENCH_K (default 1000), BENCH_BATCH (default 64).
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -23,13 +32,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ekf_slam_tpu.config import EKFParams
-from ekf_slam_tpu.models import ekf
+from ekf_slam_tpu.models import batched, ekf
 from ekf_slam_tpu.ops.association import gate
 from ekf_slam_tpu.oracle.np_ekf import NumpyEKFSLAM
 from ekf_slam_tpu.state import FilterState, init_state
 
-K = 1000          # landmarks (BASELINE "1k" config)
-N_OBS = 256       # updates per timed run
+K = int(os.environ.get("BENCH_K", "1000"))
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+N_SEQ = 64        # sequential updates per timed run
+N_BATCHES = 8     # batched runs per timed run
 N_ORACLE = 2      # oracle updates to time (each is seconds at 1k)
 
 
@@ -65,9 +76,18 @@ def make_measurements(state: FilterState, n: int, seed=1):
     return np.stack([r, b, (idx + 1).astype(np.float64)], axis=-1)
 
 
-def tpu_updates_per_sec(params: EKFParams) -> float:
+def _time(run, *args):
+    out = run(*args)                      # compile + warm
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = run(*args)
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0
+
+
+def sequential_updates_per_sec(params: EKFParams) -> float:
     state = make_full_state(params)
-    zs = jnp.asarray(make_measurements(state, N_OBS), params.dtype)
+    zs = jnp.asarray(make_measurements(state, N_SEQ), params.dtype)
     rc0, rc1 = params.rc
 
     def one_update(st, z):
@@ -77,13 +97,29 @@ def tpu_updates_per_sec(params: EKFParams) -> float:
         return ekf.update(st, z, slot, R2, params), None
 
     run = jax.jit(lambda st, zs: jax.lax.scan(one_update, st, zs)[0])
-    out = run(state, zs)                     # compile + warm
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = run(state, zs)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return N_OBS / dt
+    return N_SEQ / _time(run, state, zs)
+
+
+def batched_updates_per_sec(params: EKFParams) -> float:
+    state = make_full_state(params)
+    zs_all = jnp.asarray(
+        make_measurements(state, N_BATCHES * BATCH).reshape(
+            N_BATCHES, BATCH, 3), params.dtype)
+    rc0, rc1 = params.rc
+
+    def one_batch(st, zs):
+        Rs = jax.vmap(lambda z: jnp.diag(
+            jnp.stack([z[0] * rc0, z[1] * rc1])))(zs).astype(params.dtype)
+
+        def gate_one(z, R):
+            new, slot, _ = gate(st, z, R, params)
+            return new, slot
+        is_new, slots = jax.vmap(gate_one)(zs, Rs)
+        valid = ~is_new
+        return batched.update_batch(st, zs, slots, Rs, valid, params), None
+
+    run = jax.jit(lambda st, zb: jax.lax.scan(one_batch, st, zb)[0])
+    return (N_BATCHES * BATCH) / _time(run, state, zs_all)
 
 
 def oracle_updates_per_sec() -> float:
@@ -116,16 +152,20 @@ def oracle_updates_per_sec() -> float:
 def main():
     params = EKFParams(capacity=K, association="ml", s_cost=1e6,
                        s_thresh=1e12, ref_compat=False, dtype=jnp.float32)
-    tpu = tpu_updates_per_sec(params)
-    print(f"[bench] tpu: {tpu:.1f} updates/s @ {K} landmarks "
-          f"({jax.devices()[0].platform})", file=sys.stderr)
+    plat = jax.devices()[0].platform
+    bat = batched_updates_per_sec(params)
+    print(f"[bench] batched (M={BATCH}): {bat:.1f} updates/s @ {K} "
+          f"landmarks ({plat})", file=sys.stderr)
+    seq = sequential_updates_per_sec(params)
+    print(f"[bench] sequential: {seq:.1f} updates/s", file=sys.stderr)
     orc = oracle_updates_per_sec()
     print(f"[bench] numpy oracle: {orc:.3f} updates/s", file=sys.stderr)
+    best = max(bat, seq)
     print(json.dumps({
         "metric": f"ekf_updates_per_sec_chip_{K}_landmarks",
-        "value": round(tpu, 2),
+        "value": round(best, 2),
         "unit": "updates/s",
-        "vs_baseline": round(tpu / orc, 2),
+        "vs_baseline": round(best / orc, 2),
     }))
 
 

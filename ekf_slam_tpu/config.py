@@ -58,6 +58,12 @@ class EKFParams:
     #: association mode — see ASSOC_* constants.
     association: str = ASSOC_SIGNATURE
 
+    #: measurement-phase scheduling: 'sequential' replays the reference's
+    #: per-observation update chain (EKF_SLAM_UC.m:109-150, bit-parity
+    #: path); 'batched' applies one joint rank-2M update per tick
+    #: (models/batched.py, the TPU fast path — one pass over P per tick).
+    update_mode: str = "sequential"
+
     #: reproduce the reference's numeric quirks exactly (SURVEY.md §2.3):
     #:  - bearing innovation NOT re-wrapped after subtraction (EKF_SLAM_UC.m:145)
     #:  - motion Jacobian evaluated at theta (pre-increment) and WITHOUT the

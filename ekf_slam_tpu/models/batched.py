@@ -1,0 +1,150 @@
+"""Batched-innovation EKF update: M observations in one pass over P.
+
+The reference applies observations strictly sequentially — each Kalman
+update rewrites the full covariance before the next begins
+(EKF_SLAM_UC.m:109-150), so M observations cost M full passes over the
+(3+2K)² covariance.  On TPU that is pure HBM-bandwidth waste: the joint
+batched-innovation update stacks the M measurement Jacobians into one
+[2M × D] observation model and applies a single rank-2M correction
+
+    S = H P Hᵀ + R   (2M×2M),  K = P Hᵀ S⁻¹  (D×2M),  P ← P − K·(P Hᵀ)ᵀ
+
+touching P exactly once.  With all observations gated against the same
+pre-update state this is the textbook-correct joint EKF update (it equals
+the sequential chain when observations are independent and the filter is
+linear-consistent; it is NOT bit-identical to the reference's sequential
+order — use models/ekf.measure for ref-compat parity).
+
+Invalid/masked observation slots contribute zero Jacobian rows and an
+identity S block, making them exact no-ops — so the batch size is a static
+shape and jit never recompiles.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import ASSOC_KNOWN, EKFParams
+from ..models import ekf
+from ..ops.angles import atan2d, cosd, sind, wrap_to_180, wrap_to_360
+from ..ops.association import gate
+from ..ops.observations import ObsBatch
+from ..state import FilterState
+
+
+def _innovation_blocks(x: jnp.ndarray, slots: jnp.ndarray,
+                       params: EKFParams):
+    """vmapped ẑ / A (pose block) / B (landmark block) per observation."""
+    def one(slot):
+        return ekf.innovation(x, slot, params)
+    return jax.vmap(one)(slots)            # zhat [M,2], A [M,2,3], B [M,2,2]
+
+
+def update_batch(state: FilterState, zs: jnp.ndarray, slots: jnp.ndarray,
+                 Rs: jnp.ndarray, valid: jnp.ndarray, params: EKFParams
+                 ) -> FilterState:
+    """Joint update of M (range, bearing) observations against ``slots``.
+
+    zs: f[M,2+] measured (range, bearing, ...); Rs: f[M,2,2]; valid: bool[M].
+    """
+    x, P = state.x, state.P
+    D = x.shape[0]
+    M = zs.shape[0]
+    dt = P.dtype
+
+    zhat, A, B = _innovation_blocks(x, slots, params)
+    vmask = valid.astype(dt)
+    A = A * vmask[:, None, None]
+    B = B * vmask[:, None, None]
+
+    nu = zs[:, :2].astype(dt) - zhat
+    if not params.ref_compat:
+        nu = nu.at[:, 1].set(wrap_to_180(nu[:, 1]))
+    nu = (nu * vmask[:, None]).reshape(2 * M)
+
+    cols = 3 + 2 * slots                                       # i32[M]
+    # PHt_m = P[:, pose]·A_mᵀ + P[:, slot_m]·B_mᵀ   → [D, M, 2]
+    Gp = P[:, :3]                                              # [D,3]
+    Gl = jax.vmap(
+        lambda c: lax.dynamic_slice(
+            P, (jnp.zeros((), jnp.int32), jnp.asarray(c, jnp.int32)),
+            (D, 2)),
+        out_axes=1)(cols)                                      # [D,M,2]
+    PHt = (jnp.einsum("dp,mqp->dmq", Gp, A)
+           + jnp.einsum("dmp,mqp->dmq", Gl, B))                # [D,M,2]
+    PHt = PHt.reshape(D, 2 * M)
+
+    # S = H·PHt + R: row block m needs PHt's pose rows + slot_m's row pair.
+    rows_pose = PHt[:3]                                        # [3,2M]
+    rows_lm = jax.vmap(
+        lambda c: lax.dynamic_slice(
+            PHt, (jnp.asarray(c, jnp.int32), jnp.zeros((), jnp.int32)),
+            (2, 2 * M)))(cols)                                 # [M,2,2M]
+    S = (jnp.einsum("mqp,pn->mqn", A, rows_pose)
+         + jnp.einsum("mqp,mpn->mqn", B, rows_lm)).reshape(2 * M, 2 * M)
+    Rblk = jnp.zeros((2 * M, 2 * M), dt)
+    ridx = jnp.arange(M)
+    Rblk = Rblk.at[2 * ridx, 2 * ridx].set(
+        jnp.where(valid, Rs[:, 0, 0].astype(dt), 1.0))
+    Rblk = Rblk.at[2 * ridx + 1, 2 * ridx + 1].set(
+        jnp.where(valid, Rs[:, 1, 1].astype(dt), 1.0))
+    Rblk = Rblk.at[2 * ridx, 2 * ridx + 1].set(
+        jnp.where(valid, Rs[:, 0, 1].astype(dt), 0.0))
+    Rblk = Rblk.at[2 * ridx + 1, 2 * ridx].set(
+        jnp.where(valid, Rs[:, 1, 0].astype(dt), 0.0))
+    S = S + Rblk
+
+    Kg = jnp.linalg.solve(S.T, PHt.T).T                        # [D,2M]
+
+    x = x + Kg @ nu
+    if params.joseph:
+        KB = Kg @ PHt.T
+        P = P - KB - KB.T + Kg @ S @ Kg.T
+    else:
+        P = P - Kg @ PHt.T
+    if params.symmetrize:
+        P = 0.5 * (P + P.T)
+    return state._replace(x=x, P=P)
+
+
+def measure_batched(state: FilterState, obs: ObsBatch, u: jnp.ndarray,
+                    params: EKFParams) -> FilterState:
+    """Fast-mode measurement phase: gate all observations against the
+    pre-update state, apply ONE joint update, then append the new landmarks
+    sequentially (appends are O(D), not O(D²), so sequential is fine).
+
+    Semantic difference vs models/ekf.measure (ref order): association and
+    linearization use the tick's prior state for every observation instead
+    of the running partially-updated state.
+    """
+    M = obs.rng.shape[0]
+    rc0 = jnp.asarray(params.rc[0], params.dtype)
+    rc1 = jnp.asarray(params.rc[1], params.dtype)
+    zs = jnp.stack([obs.rng, obs.bearing,
+                    obs.index.astype(params.dtype)], axis=-1)
+    Rs = jax.vmap(lambda z: jnp.diag(
+        jnp.stack([z[0] * rc0, z[1] * rc1])))(zs)              # [M,2,2]
+
+    if params.association == ASSOC_KNOWN:
+        is_new = zs[:, 2] > state.n_active.astype(params.dtype)
+        slots = jnp.clip(obs.index - 1, 0, state.capacity - 1)
+    else:
+        def gate_one(z, R):
+            new, slot, _ = gate(state, z, R, params)
+            return new, slot
+        is_new, slots = jax.vmap(gate_one)(zs, Rs)
+    first = state.n_active == 0
+    is_new = jnp.logical_or(is_new, first)
+
+    upd_valid = obs.valid & ~is_new
+    state = update_batch(state, zs, slots, Rs, upd_valid, params)
+
+    # sequential masked appends for the new ones (cheap rank-type writes)
+    def body(ii, s):
+        def do(s):
+            return ekf.append(s, u, Rs[ii], obs.loc[ii], zs[ii, 2], params)
+        return lax.cond(obs.valid[ii] & is_new[ii], do, lambda s: s, s)
+    return lax.fori_loop(0, M, body, state)

@@ -164,6 +164,10 @@ def innovation(x: jnp.ndarray, slot, params: EKFParams
     lm = lax.dynamic_slice(x, (jnp.asarray(3 + 2 * slot, jnp.int32),), (2,))
     delta = lm - x[:2]
     q = delta @ delta
+    # q = 0 only for padded/empty slots (or a landmark exactly at the robot,
+    # degenerate in the reference too) — guard so masked lanes stay finite
+    # (NaN * 0 would poison batched updates).
+    q = jnp.where(q == 0, jnp.ones_like(q), q)
     sq = jnp.sqrt(q)
     zhat = jnp.stack([sq, wrap_to_360(atan2d(delta[1], delta[0]) - th)])
     dx, dy = delta[0], delta[1]

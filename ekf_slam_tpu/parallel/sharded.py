@@ -84,7 +84,11 @@ class ShardedSlamSession:
             scan = scan_from_ranges(ranges, beam_angles)
             obs, table = extract(carry.table, scan, filt.x, filt.n_active,
                                  sub, rp, ep.max_obs)
-            filt = _constrain(ekf.measure(filt, obs, u, ep), mesh)
+            if ep.update_mode == "batched":
+                from ..models.batched import measure_batched
+                filt = _constrain(measure_batched(filt, obs, u, ep), mesh)
+            else:
+                filt = _constrain(ekf.measure(filt, obs, u, ep), mesh)
 
             out = StepOutput(pose=filt.x[:3], n_active=filt.n_active,
                              n_obs=jnp.sum(obs.valid).astype(jnp.int32),

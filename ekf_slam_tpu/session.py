@@ -129,7 +129,11 @@ class SlamSession:
             scan = scan_from_ranges(ranges, beam_angles)
             obs, table = self._extract(carry.table, scan, filt.x,
                                        filt.n_active, sub, rp, ep.max_obs)
-            filt = ekf.measure(filt, obs, u, ep)           # SLAM.m:116
+            if ep.update_mode == "batched":
+                from .models.batched import measure_batched
+                filt = measure_batched(filt, obs, u, ep)
+            else:
+                filt = ekf.measure(filt, obs, u, ep)       # SLAM.m:116
 
             out = StepOutput(pose=filt.x[:3],
                              n_active=filt.n_active,

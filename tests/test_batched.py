@@ -1,0 +1,131 @@
+"""Batched-innovation update vs the sequential reference chain."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ekf_slam_tpu.config import EKFParams
+from ekf_slam_tpu.models import batched, ekf
+from ekf_slam_tpu.ops.observations import obs_from_rows
+
+from test_ekf_core import make_pair, dense_of
+
+PARAMS = EKFParams(capacity=8, max_obs=4, ref_compat=False,
+                   dtype=jnp.float64)
+
+
+def measurement_of(state, slot, noise=0.0, rng=None):
+    x = np.asarray(state.x)
+    lm = x[3 + 2 * slot:5 + 2 * slot]
+    d = lm - x[:2]
+    r = np.hypot(*d)
+    b = np.mod(np.rad2deg(np.arctan2(d[1], d[0])) - x[2], 360.0)
+    if rng is not None:
+        r += rng.normal(0, noise)
+        b += rng.normal(0, noise * 50)
+    return np.array([r, b, float(slot + 1)])
+
+
+def test_batch_of_one_matches_sequential():
+    state, _ = make_pair(3, seed=2)
+    z = measurement_of(state, 1)
+    z[0] += 0.05  # small innovation
+    R = np.diag([z[0] * 0.1, z[1] * 5.0])
+    seq = ekf.update(state, jnp.asarray(z), 1, jnp.asarray(R), PARAMS)
+    bat = batched.update_batch(
+        state, jnp.asarray(z)[None, :], jnp.asarray([1]),
+        jnp.asarray(R)[None], jnp.ones((1,), bool), PARAMS)
+    np.testing.assert_allclose(np.asarray(bat.x), np.asarray(seq.x),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(bat.P), np.asarray(seq.P),
+                               rtol=1e-8, atol=1e-11)
+
+
+def test_masked_rows_are_noops():
+    state, _ = make_pair(3, seed=2)
+    z1 = measurement_of(state, 0)
+    z1[0] += 0.03
+    R1 = np.diag([z1[0] * 0.1, z1[1] * 5.0])
+    zpad = np.array([7.7, 123.0, 2.0])     # garbage in a masked slot
+    Rpad = np.diag([1.0, 1.0])
+    only = batched.update_batch(
+        state, jnp.asarray(z1)[None], jnp.asarray([0]),
+        jnp.asarray(R1)[None], jnp.ones((1,), bool), PARAMS)
+    padded = batched.update_batch(
+        state, jnp.asarray(np.stack([z1, zpad])), jnp.asarray([0, 1]),
+        jnp.asarray(np.stack([R1, Rpad])), jnp.asarray([True, False]),
+        PARAMS)
+    np.testing.assert_allclose(np.asarray(padded.x), np.asarray(only.x),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(padded.P), np.asarray(only.P),
+                               rtol=1e-8, atol=1e-11)
+
+
+def test_batch_close_to_sequential_small_innovations(rng):
+    """For small innovations the joint update ≈ the sequential chain
+    (they differ only through relinearization order)."""
+    state, _ = make_pair(4, seed=5)
+    zs, Rs = [], []
+    for slot in range(3):
+        z = measurement_of(state, slot, noise=0.01, rng=rng)
+        zs.append(z)
+        Rs.append(np.diag([z[0] * 0.1, z[1] * 5.0]))
+    seq = state
+    for slot in range(3):
+        seq = ekf.update(seq, jnp.asarray(zs[slot]), slot,
+                         jnp.asarray(Rs[slot]), PARAMS)
+    bat = batched.update_batch(
+        state, jnp.asarray(np.stack(zs)), jnp.asarray([0, 1, 2]),
+        jnp.asarray(np.stack(Rs)), jnp.ones((3,), bool), PARAMS)
+    d_seq = dense_of(seq)
+    d_bat = dense_of(bat)
+    np.testing.assert_allclose(d_bat[0], d_seq[0], atol=2e-3)
+    np.testing.assert_allclose(d_bat[1], d_seq[1], atol=2e-3)
+
+
+def test_duplicate_slots_stay_sane():
+    """Two measurements of the SAME landmark in one batch: the joint solve
+    handles the correlation; covariance must stay PSD-ish and shrink."""
+    state, _ = make_pair(2, seed=8)
+    z1 = measurement_of(state, 0)
+    z2 = z1.copy()
+    z1[0] += 0.02
+    z2[0] -= 0.01
+    Rs = np.stack([np.diag([z1[0] * 0.1, z1[1] * 5.0]),
+                   np.diag([z2[0] * 0.1, z2[1] * 5.0])])
+    bat = batched.update_batch(
+        state, jnp.asarray(np.stack([z1, z2])), jnp.asarray([0, 0]),
+        jnp.asarray(Rs), jnp.ones((2,), bool), PARAMS)
+    d = 3 + 2 * 2
+    P = np.asarray(bat.P)[:d, :d]
+    assert np.all(np.isfinite(P))
+    evals = np.linalg.eigvalsh(0.5 * (P + P.T))
+    assert evals.min() > -1e-9
+    P0 = np.asarray(state.P)[:d, :d]
+    assert np.trace(P) < np.trace(P0)
+
+
+def test_measure_batched_appends_and_updates():
+    state, _ = make_pair(0)
+    u = jnp.array([0.05, 2.0])
+    obs = obs_from_rows(
+        [[2.0, 10.0, 1]], [[2.0, 0.35]], PARAMS.max_obs, jnp.float64)
+    s1 = batched.measure_batched(state, obs, u, PARAMS)
+    assert int(s1.n_active) == 1
+    # next tick: same landmark observed again + a new one
+    obs2 = obs_from_rows(
+        [[2.0, 10.0, 1], [1.5, 100.0, 2]],
+        [[2.0, 0.35], [-0.3, 1.5]], PARAMS.max_obs, jnp.float64)
+    s2 = batched.measure_batched(s1, obs2, u, PARAMS)
+    assert int(s2.n_active) == 2
+    assert np.all(np.isfinite(np.asarray(s2.P)))
+
+
+def test_measure_batched_jits_fixed_shape():
+    state, _ = make_pair(2, seed=3)
+    u = jnp.array([0.05, 2.0])
+    f = jax.jit(lambda s, o: batched.measure_batched(s, o, u, PARAMS))
+    z = measurement_of(state, 0)
+    obs = obs_from_rows([z.tolist()], [[0.0, 0.0]], PARAMS.max_obs,
+                        jnp.float64)
+    out = f(state, obs)
+    assert int(out.n_active) == 2
