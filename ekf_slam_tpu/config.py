@@ -64,6 +64,13 @@ class EKFParams:
     #: (models/batched.py, the TPU fast path — one pass over P per tick).
     update_mode: str = "sequential"
 
+    #: failure detection (utils/faults.py): if set, a tick whose measurement
+    #: phase moves the pose more than this many meters — or produces
+    #: non-finite state / negative covariance — is rolled back and treated
+    #: as lost input.  None disables the guard (reference behavior: the
+    #: 0/360-seam innovation quirk can throw the pose ~18 m unguarded).
+    guard_max_jump: float = None
+
     #: reproduce the reference's numeric quirks exactly (SURVEY.md §2.3):
     #:  - bearing innovation NOT re-wrapped after subtraction (EKF_SLAM_UC.m:145)
     #:  - motion Jacobian evaluated at theta (pre-increment) and WITHOUT the

@@ -129,11 +129,15 @@ class SlamSession:
             scan = scan_from_ranges(ranges, beam_angles)
             obs, table = self._extract(carry.table, scan, filt.x,
                                        filt.n_active, sub, rp, ep.max_obs)
+            pre_measure = filt
             if ep.update_mode == "batched":
                 from .models.batched import measure_batched
                 filt = measure_batched(filt, obs, u, ep)
             else:
                 filt = ekf.measure(filt, obs, u, ep)       # SLAM.m:116
+            if ep.guard_max_jump is not None:
+                from .utils.faults import guarded
+                filt, _ = guarded(pre_measure, filt, ep.guard_max_jump)
 
             out = StepOutput(pose=filt.x[:3],
                              n_active=filt.n_active,
