@@ -1,0 +1,177 @@
+"""Pallas TPU kernels for the engine's hot paths.
+
+Two kernels carry the bandwidth/compute-critical work (BASELINE.json:
+"masked Kalman gain solves and RANSAC hypothesis scoring as fused Pallas
+kernels"):
+
+* ``cov_update``: the rank-2M covariance correction ``P ← P − K·V`` — the
+  single dominant data movement of the filter (P is 1.6 GB at 10k landmarks
+  in f32).  Tiled over (row, col) blocks with the P buffer aliased in-place,
+  so each element of P is read and written exactly once per tick: the
+  speed-of-light schedule for this op.
+* ``score_lines``: RANSAC hypothesis scoring — point-line distance +
+  threshold + masked popcount for NH candidate lines × B beams in one fused
+  pass (the reference evaluates this per point, per line, in an interpreted
+  loop, RANSAC.m:190-198).
+
+Both have jnp reference implementations used as CPU fallbacks and test
+oracles; ``use_pallas`` dispatches on the backend.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Rank-2M covariance update: P <- P - K @ V
+# ---------------------------------------------------------------------------
+
+def cov_update_ref(P: jnp.ndarray, K: jnp.ndarray, V: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """jnp reference / CPU fallback."""
+    return P - K @ V
+
+
+def _cov_update_kernel(p_ref, k_ref, v_ref, o_ref):
+    o_ref[:] = p_ref[:] - jnp.dot(k_ref[:], v_ref[:],
+                                  preferred_element_type=p_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "tile_n",
+                                             "interpret"))
+def cov_update_pallas(P: jnp.ndarray, K: jnp.ndarray, V: jnp.ndarray,
+                      tile_m: int = 256, tile_n: int = 512,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Tiled in-place P − K·V.  Requires D divisible by the tiles (the
+    sharded state is already padded; pad_cov_operands handles the rest).
+
+    The P block is aliased to the output block, so HBM traffic is exactly
+    one read + one write of P plus the (negligible) K/V tiles."""
+    D = P.shape[0]
+    R = K.shape[1]
+    assert D % tile_m == 0 and D % tile_n == 0, (D, tile_m, tile_n)
+    grid = (D // tile_m, D // tile_n)
+    return pl.pallas_call(
+        _cov_update_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, R), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, tile_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(P.shape, P.dtype),
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * D * D * R,
+            bytes_accessed=2 * D * D * P.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(P, K, V)
+
+
+def cov_update(P: jnp.ndarray, K: jnp.ndarray, V: jnp.ndarray,
+               use_pallas: bool = None) -> jnp.ndarray:
+    """P − K·V with automatic backend dispatch."""
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    D = P.shape[0]
+    if use_pallas and D % 256 == 0:
+        return cov_update_pallas(P, K, V)
+    return cov_update_ref(P, K, V)
+
+
+# ---------------------------------------------------------------------------
+# RANSAC hypothesis scoring: inlier counts for NH lines over B beams
+# ---------------------------------------------------------------------------
+
+def score_lines_ref(points: jnp.ndarray, valid: jnp.ndarray,
+                    lines: jnp.ndarray, thresh: float) -> jnp.ndarray:
+    """jnp reference: counts [NH] of valid points within `thresh` of each
+    line y = m·x + b (lines [NH,2])."""
+    m, b = lines[:, 0:1], lines[:, 1:2]                       # [NH,1]
+    x, y = points[None, :, 0], points[None, :, 1]             # [1,B]
+    d = jnp.abs(m * x - y + b) / jnp.sqrt(m * m + 1.0)
+    inl = (d < thresh) & valid[None, :]
+    return jnp.sum(inl, axis=1, dtype=jnp.int32)
+
+
+def _score_kernel(x_ref, y_ref, w_ref, lines_ref, thresh_ref, out_ref):
+    m = lines_ref[:, 0:1]                                     # [TH,1]
+    b = lines_ref[:, 1:2]
+    x = x_ref[:]                                              # [1,B]
+    y = y_ref[:]
+    w = w_ref[:]
+    one = jnp.ones((), x.dtype)
+    d = jnp.abs(m * x - y + b) * jax.lax.rsqrt(m * m + one)
+    inl = ((d < thresh_ref[0, 0]) & (w > jnp.zeros((), x.dtype))).astype(
+        x.dtype)
+    out_ref[:, 0:1] = jnp.sum(inl, axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
+def score_lines_pallas(points: jnp.ndarray, valid: jnp.ndarray,
+                       lines: jnp.ndarray, thresh,
+                       tile_h: int = 8, interpret: bool = False
+                       ) -> jnp.ndarray:
+    NH = lines.shape[0]
+    B = points.shape[0]
+    Bp = _round_up(B, 128)
+    NHp = _round_up(NH, tile_h)
+    x = jnp.zeros((1, Bp), points.dtype).at[0, :B].set(points[:, 0])
+    y = jnp.zeros((1, Bp), points.dtype).at[0, :B].set(points[:, 1])
+    w = jnp.zeros((1, Bp), points.dtype).at[0, :B].set(
+        valid.astype(points.dtype))
+    lp = jnp.zeros((NHp, 2), lines.dtype).at[:NH].set(lines)
+    th = jnp.asarray(thresh, points.dtype).reshape(1, 1)
+    counts = pl.pallas_call(
+        _score_kernel,
+        grid=(NHp // tile_h,),
+        in_specs=[
+            pl.BlockSpec((1, Bp), lambda h: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bp), lambda h: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bp), lambda h: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, 2), lambda h: (h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda h: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_h, 1), lambda h: (h, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NHp, 1), points.dtype),
+        interpret=interpret,
+    )(x, y, w, lp, th)
+    return counts[:NH, 0].astype(jnp.int32)
+
+
+def score_lines(points: jnp.ndarray, valid: jnp.ndarray,
+                lines: jnp.ndarray, thresh: float,
+                use_pallas: bool = None) -> jnp.ndarray:
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if use_pallas:
+        return score_lines_pallas(points, valid, lines, thresh)
+    return score_lines_ref(points, valid, lines, thresh)

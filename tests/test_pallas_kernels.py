@@ -1,0 +1,57 @@
+"""Pallas kernels vs their jnp references (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ekf_slam_tpu.ops.pallas import kernels
+
+
+def test_cov_update_matches_ref(rng):
+    D, R = 512, 128
+    P = jnp.asarray(rng.normal(0, 1, (D, D)), jnp.float32)
+    K = jnp.asarray(rng.normal(0, 1, (D, R)), jnp.float32)
+    V = jnp.asarray(rng.normal(0, 1, (R, D)), jnp.float32)
+    ref = kernels.cov_update_ref(P, K, V)
+    out = kernels.cov_update_pallas(P, K, V, tile_m=256, tile_n=256,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_cov_update_dispatch_cpu_falls_back(rng):
+    D, R = 256, 8
+    P = jnp.asarray(rng.normal(0, 1, (D, D)), jnp.float32)
+    K = jnp.asarray(rng.normal(0, 1, (D, R)), jnp.float32)
+    V = jnp.asarray(rng.normal(0, 1, (R, D)), jnp.float32)
+    out = kernels.cov_update(P, K, V)       # CPU → jnp path
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(kernels.cov_update_ref(P, K, V)),
+                               rtol=1e-6)
+
+
+def test_score_lines_matches_ref(rng):
+    B, NH = 700, 37
+    pts = jnp.asarray(rng.uniform(-5, 5, (B, 2)), jnp.float32)
+    valid = jnp.asarray(rng.random(B) > 0.2)
+    lines = jnp.asarray(
+        np.stack([rng.uniform(-3, 3, NH), rng.uniform(-4, 4, NH)], -1),
+        jnp.float32)
+    ref = kernels.score_lines_ref(pts, valid, lines, 0.25)
+    out = kernels.score_lines_pallas(pts, valid, lines, 0.25,
+                                     interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_score_lines_counts_known_geometry():
+    # 100 points on y=0, 50 on y=2; line y=0 catches exactly the first set
+    pts = np.zeros((150, 2), np.float32)
+    pts[:100, 0] = np.linspace(-5, 5, 100)
+    pts[100:, 0] = np.linspace(-5, 5, 50)
+    pts[100:, 1] = 2.0
+    lines = jnp.asarray([[0.0, 0.0], [0.0, 2.0]], jnp.float32)
+    valid = jnp.ones((150,), bool)
+    out = kernels.score_lines_ref(jnp.asarray(pts), valid, lines, 0.25)
+    np.testing.assert_array_equal(np.asarray(out), [100, 50])
+    out_p = kernels.score_lines_pallas(jnp.asarray(pts), valid, lines,
+                                       0.25, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_p), [100, 50])
