@@ -120,6 +120,10 @@ class RansacParams:
 
     #: candidate-table capacity (reference list grows unbounded, RANSAC.m:297).
     table_capacity: int = 256
+    #: >0: use the batched-hypothesis wall search (NH seed lines scored in
+    #: one fused pass, ops/ransac.find_walls_batched) instead of the
+    #: reference's one-seed-per-round loop.  0 = ref-style sequential.
+    n_hypotheses: int = 0
     #: two-quadrant atand(y/x) bearing window (RANSAC.m:160-166 quirk) instead
     #: of four-quadrant atan2d.
     ref_compat: bool = True

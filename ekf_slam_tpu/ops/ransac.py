@@ -153,6 +153,73 @@ def find_walls(points: jnp.ndarray, valid: jnp.ndarray, key: jnp.ndarray,
     return lines, ok, remaining
 
 
+def find_walls_batched(points: jnp.ndarray, valid: jnp.ndarray,
+                       key: jnp.ndarray, params: RansacParams,
+                       n_hypotheses: int = 64
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched-hypothesis wall search: NH seed lines scored at once.
+
+    Instead of the reference's one-seed-per-round sequential search
+    (RANSAC.m:114-128), sample NH seed points simultaneously, fit NH trial
+    lines from their bearing windows, score ALL of them in one fused pass
+    (ops/pallas/kernels.score_lines), then greedily accept up to
+    ``wall_search_timeout`` winners whose inlier sets don't overlap.  Same
+    output contract as find_walls; more hypotheses → better walls per scan
+    AND fewer sequential steps.
+    """
+    from .pallas.kernels import score_lines
+
+    B = points.shape[0]
+    T = params.wall_search_timeout
+    NH = n_hypotheses
+    bearing = (atand(points[:, 1] / jnp.where(points[:, 0] == 0, 1e-12,
+                                              points[:, 0]))
+               if params.ref_compat else atan2d(points[:, 1], points[:, 0]))
+    half_win = params.bearing_window_deg / 2.0
+
+    k_pick, k_sample = jax.random.split(key)
+    u = jax.random.uniform(k_pick, (NH, B))
+    seed_idx = jnp.argmax(jnp.where(valid[None, :], u, -1.0), axis=1)  # [NH]
+    cb = bearing[seed_idx]                                             # [NH]
+
+    in_win = (valid[None, :]
+              & (bearing[None, :] <= cb[:, None] + half_win)
+              & (bearing[None, :] >= cb[:, None] - half_win))          # [NH,B]
+    n_win = jnp.sum(in_win, axis=1)
+    enough = n_win > params.sample_points
+
+    s = jax.random.uniform(k_sample, (NH, B))
+    s = jnp.where(in_win, s, -jnp.inf)
+    _, top_idx = lax.top_k(s, params.sample_points)                    # [NH,S]
+    sel = jnp.zeros((NH, B), bool)
+    sel = sel.at[jnp.arange(NH)[:, None], top_idx].set(True) & in_win
+
+    m0, b0, fit_ok = jax.vmap(fit_line, in_axes=(None, 0))(points, sel)
+    trial = jnp.stack([m0, b0], axis=-1)                               # [NH,2]
+    counts = score_lines(points, valid, trial, params.inlier_dist)
+    counts = jnp.where(enough & fit_ok, counts, 0)
+
+    # greedy selection of up to T non-overlapping winners
+    def pick(carry, _):
+        avail, cnts = carry
+        best = jnp.argmax(cnts)
+        ok = cnts[best] > params.line_consensus
+        d = point_line_dist(points, trial[best, 0], trial[best, 1])
+        inl = avail & (d < params.inlier_dist)
+        m1, b1, refit_ok = fit_line(points, inl)
+        ok = ok & refit_ok
+        avail = jnp.where(ok, avail & ~inl, avail)
+        # re-score remaining hypotheses against the reduced point pool
+        cnts = jnp.where(ok, score_lines(points, avail, trial,
+                                         params.inlier_dist), cnts)
+        cnts = cnts.at[best].set(0)
+        return (avail, cnts), (jnp.stack([m1, b1]), ok)
+
+    (remaining, _), (lines, ok) = lax.scan(pick, (valid, counts),
+                                           None, length=T)
+    return lines, ok, remaining
+
+
 # ---------------------------------------------------------------------------
 # Candidate-table update (RANSAC.m:234-334)
 # ---------------------------------------------------------------------------
@@ -340,6 +407,10 @@ def extract(table: LandmarkTable, scan: Scan, x: jnp.ndarray,
     table = writeback(table, x, n_active, params)
     pose = x[:3]
     pts = scan_to_world(scan, pose)
-    lines, line_ok, _ = find_walls(pts, scan.valid, key, params)
+    if params.n_hypotheses > 0:
+        lines, line_ok, _ = find_walls_batched(pts, scan.valid, key,
+                                               params, params.n_hypotheses)
+    else:
+        lines, line_ok, _ = find_walls(pts, scan.valid, key, params)
     feet = jax.vmap(lambda l: perpendicular_foot(l[0], l[1]))(lines)
     return update_table(table, feet, line_ok, pose, params, max_obs)

@@ -258,3 +258,51 @@ def test_extract_end_to_end_smoke():
     for loc in locs:
         assert (abs(loc[0]) < 0.3 and (abs(abs(loc[1]) - 3) < 0.3)) or \
                (abs(loc[1]) < 0.3 and (abs(abs(loc[0]) - 4) < 0.3)), loc
+
+
+def test_find_walls_batched_recovers_room_walls():
+    """Batched-hypothesis search (fused scoring) finds at least as many
+    walls as the sequential reference-style search."""
+    pose = np.array([0.5, -0.5, 10.0])
+    angles, ranges_np = make_room_scan(pose)
+    scan = scan_from_ranges(jnp.asarray(ranges_np), jnp.asarray(angles))
+    pts = scan_to_world(scan, jnp.asarray(pose))
+    par = RansacParams(line_consensus=60, bearing_window_deg=15.0,
+                       wall_search_timeout=4, ref_compat=False,
+                       dtype=jnp.float64)
+    lines, ok, _ = ransac.find_walls_batched(pts, scan.valid,
+                                             jax.random.PRNGKey(0), par,
+                                             n_hypotheses=64)
+    lines, ok = np.asarray(lines), np.asarray(ok)
+    # exactly-vertical walls (x=±4, zero-noise points) are unfittable by
+    # y=mx+b — the reference's polyfit has the same degeneracy — so both
+    # HORIZONTAL walls must be found
+    assert ok.sum() >= 2
+    bs = []
+    for (m, b), good in zip(lines, ok):
+        if not good:
+            continue
+        assert abs(m) < 0.05 and (abs(b - 3) < 0.15 or abs(b + 3) < 0.15), \
+            (m, b)
+        bs.append(round(float(b)))
+    assert set(bs) == {-3, 3}
+
+
+def test_find_walls_batched_nonoverlapping():
+    """Greedy selection must not return the same wall twice."""
+    pose = np.array([0.0, 0.0, 0.0])
+    angles, ranges_np = make_room_scan(pose)
+    scan = scan_from_ranges(jnp.asarray(ranges_np), jnp.asarray(angles))
+    pts = scan_to_world(scan, jnp.asarray(pose))
+    par = RansacParams(line_consensus=60, bearing_window_deg=15.0,
+                       wall_search_timeout=4, ref_compat=False,
+                       dtype=jnp.float64)
+    lines, ok, _ = ransac.find_walls_batched(pts, scan.valid,
+                                             jax.random.PRNGKey(3), par,
+                                             n_hypotheses=64)
+    feet = [np.asarray(ransac.perpendicular_foot(m, b))
+            for (m, b), good in zip(np.asarray(lines), np.asarray(ok))
+            if good]
+    for i in range(len(feet)):
+        for j in range(i + 1, len(feet)):
+            assert np.linalg.norm(feet[i] - feet[j]) > 0.5, (feet[i], feet[j])
