@@ -49,6 +49,12 @@ def update_batch(state: FilterState, zs: jnp.ndarray, slots: jnp.ndarray,
     """Joint update of M (range, bearing) observations against ``slots``.
 
     zs: f[M,2+] measured (range, bearing, ...); Rs: f[M,2,2]; valid: bool[M].
+
+    Gather-free formulation: the sparse per-observation Jacobians are
+    scattered into ONE dense Hᵀ [D, 2M] (1 MB at 10k landmarks), so
+    P·Hᵀ and H·(P·Hᵀ) are plain MXU matmuls and P is streamed exactly
+    twice (once for P·Hᵀ, once for the rank-2M correction).  TPU gathers
+    of strided P columns were the previous bottleneck.
     """
     x, P = state.x, state.P
     D = x.shape[0]
@@ -57,34 +63,28 @@ def update_batch(state: FilterState, zs: jnp.ndarray, slots: jnp.ndarray,
 
     zhat, A, B = _innovation_blocks(x, slots, params)
     vmask = valid.astype(dt)
-    A = A * vmask[:, None, None]
-    B = B * vmask[:, None, None]
+    A = A * vmask[:, None, None]                               # [M,2,3]
+    B = B * vmask[:, None, None]                               # [M,2,2]
 
     nu = zs[:, :2].astype(dt) - zhat
     if not params.ref_compat:
         nu = nu.at[:, 1].set(wrap_to_180(nu[:, 1]))
     nu = (nu * vmask[:, None]).reshape(2 * M)
 
+    # dense Ht [D, 2M]: column pair 2m holds A_mᵀ in the pose rows and
+    # B_mᵀ in landmark slot_m's row pair.
     cols = 3 + 2 * slots                                       # i32[M]
-    # PHt_m = P[:, pose]·A_mᵀ + P[:, slot_m]·B_mᵀ   → [D, M, 2]
-    Gp = P[:, :3]                                              # [D,3]
-    Gl = jax.vmap(
-        lambda c: lax.dynamic_slice(
-            P, (jnp.zeros((), jnp.int32), jnp.asarray(c, jnp.int32)),
-            (D, 2)),
-        out_axes=1)(cols)                                      # [D,M,2]
-    PHt = (jnp.einsum("dp,mqp->dmq", Gp, A)
-           + jnp.einsum("dmp,mqp->dmq", Gl, B))                # [D,M,2]
-    PHt = PHt.reshape(D, 2 * M)
+    midx = jnp.arange(M)
+    Ht = jnp.zeros((D, 2 * M), dt)
+    Ht = Ht.at[0:3, :].set(
+        A.transpose(2, 0, 1).reshape(3, 2 * M))                # pose rows
+    rowpair = cols[:, None] + jnp.arange(2)[None, :]           # [M,2]
+    colpair = 2 * midx[:, None] + jnp.arange(2)[None, :]       # [M,2]
+    Ht = Ht.at[rowpair[:, :, None], colpair[:, None, :]].add(
+        B.transpose(0, 2, 1))                                  # [M,2,2]
 
-    # S = H·PHt + R: row block m needs PHt's pose rows + slot_m's row pair.
-    rows_pose = PHt[:3]                                        # [3,2M]
-    rows_lm = jax.vmap(
-        lambda c: lax.dynamic_slice(
-            PHt, (jnp.asarray(c, jnp.int32), jnp.zeros((), jnp.int32)),
-            (2, 2 * M)))(cols)                                 # [M,2,2M]
-    S = (jnp.einsum("mqp,pn->mqn", A, rows_pose)
-         + jnp.einsum("mqp,mpn->mqn", B, rows_lm)).reshape(2 * M, 2 * M)
+    PHt = P @ Ht                                               # [D,2M] MXU
+    S = Ht.T @ PHt                                             # [2M,2M] MXU
     Rblk = jnp.zeros((2 * M, 2 * M), dt)
     ridx = jnp.arange(M)
     Rblk = Rblk.at[2 * ridx, 2 * ridx].set(
@@ -132,10 +132,8 @@ def measure_batched(state: FilterState, obs: ObsBatch, u: jnp.ndarray,
         is_new = zs[:, 2] > state.n_active.astype(params.dtype)
         slots = jnp.clip(obs.index - 1, 0, state.capacity - 1)
     else:
-        def gate_one(z, R):
-            new, slot, _ = gate(state, z, R, params)
-            return new, slot
-        is_new, slots = jax.vmap(gate_one)(zs, Rs)
+        from ..ops.association import gate_batch
+        is_new, slots = gate_batch(state, zs, Rs, params)
     first = state.n_active == 0
     is_new = jnp.logical_or(is_new, first)
 

@@ -83,6 +83,79 @@ def gate_costs(state, z: jnp.ndarray, R2: jnp.ndarray, params: EKFParams
     return position_cost, signature_cost
 
 
+def gate_batch(state, zs: jnp.ndarray, Rs: jnp.ndarray, params: EKFParams
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Associate M measurements at once: (is_new [M], slot [M]).
+
+    The innovation covariance splits as Φ_mk = Φ_k + R_m: the P-dependent
+    base Φ_k is assembled ONCE from P's pose strip and landmark-diagonal
+    blocks, then each measurement adds its own R and evaluates its costs —
+    so the per-measurement work is O(K) elementwise with no extra reads of
+    P.  This is the fast path behind models/batched.measure_batched; the
+    scalar ``gate`` keeps the reference's one-at-a-time semantics."""
+    x, P = state.x, state.P
+    K = state.capacity
+    M = zs.shape[0]
+    th = x[2]
+
+    lm = state.landmarks
+    delta = lm - x[:2]
+    q = jnp.sum(delta * delta, axis=-1)
+    q = jnp.where(q == 0, jnp.ones_like(q), q)
+    sq = jnp.sqrt(q)
+    dx, dy = delta[:, 0], delta[:, 1]
+
+    zhat_r = sq
+    zhat_phi = wrap_to_360(atan2d(dy, dx) - th)
+    nu = jnp.stack([zs[:, 0:1] - zhat_r[None, :],
+                    zs[:, 1:2] - zhat_phi[None, :]], axis=-1)   # [M,K,2]
+    if not params.ref_compat:
+        nu = nu.at[:, :, 1].set(wrap_to_180(nu[:, :, 1]))
+
+    zero = jnp.zeros_like(q)
+    A = jnp.stack([
+        jnp.stack([-sq * dx, -sq * dy, zero], axis=-1),
+        jnp.stack([dy, -dx, -q], axis=-1),
+    ], axis=1) / q[:, None, None]
+    B = jnp.stack([
+        jnp.stack([sq * dx, sq * dy], axis=-1),
+        jnp.stack([-dy, dx], axis=-1),
+    ], axis=1) / q[:, None, None]
+
+    Prr = P[:3, :3]
+    end = 3 + 2 * K
+    Prl = P[:3, 3:end].reshape(3, K, 2).transpose(1, 0, 2)
+    kidx = jnp.arange(K)
+    Pll = P[3:end, 3:end].reshape(K, 2, K, 2)[kidx, :, kidx, :]
+
+    APrl = jnp.matmul(A, Prl)
+    Phi0 = (jnp.matmul(jnp.matmul(A, Prr[None]), A.transpose(0, 2, 1))
+            + jnp.matmul(APrl, B.transpose(0, 2, 1))
+            + jnp.matmul(B, APrl.transpose(0, 2, 1))
+            + jnp.matmul(jnp.matmul(B, Pll), B.transpose(0, 2, 1)))  # [K,2,2]
+
+    Phi = Phi0[None] + Rs[:, None].astype(P.dtype)               # [M,K,2,2]
+    det = Phi[..., 0, 0] * Phi[..., 1, 1] - Phi[..., 0, 1] * Phi[..., 1, 0]
+    n0, n1 = nu[..., 0], nu[..., 1]
+    position_cost = (n0 * (Phi[..., 1, 1] * n0 - Phi[..., 0, 1] * n1)
+                     + n1 * (-Phi[..., 1, 0] * n0
+                             + Phi[..., 0, 0] * n1)) / det       # [M,K]
+
+    sc = jnp.asarray(params.s_cost, P.dtype)
+    signature_cost = (zs[:, 2:3] - state.sig[None, :]) ** 2 / sc  # [M,K]
+
+    if params.association == ASSOC_ML:
+        cost = position_cost + signature_cost
+    else:
+        cost = signature_cost
+    inf = jnp.asarray(jnp.inf, cost.dtype)
+    cost = jnp.where(state.active[None, :], cost, inf)
+    passes = cost <= jnp.asarray(params.s_thresh, cost.dtype)
+    is_new = jnp.logical_not(jnp.any(passes, axis=1))
+    slot = jnp.argmin(jnp.where(passes, cost, inf), axis=1).astype(jnp.int32)
+    return is_new, slot
+
+
 def gate(state, z: jnp.ndarray, R2: jnp.ndarray, params: EKFParams
          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Associate measurement z: returns (is_new, slot, cost_vector).

@@ -129,3 +129,43 @@ def test_measure_batched_jits_fixed_shape():
                         jnp.float64)
     out = f(state, obs)
     assert int(out.n_active) == 2
+
+
+def test_gate_batch_matches_scalar_gate():
+    from ekf_slam_tpu.ops.association import gate, gate_batch
+    state, _ = make_pair(4, seed=9)
+    rng = np.random.default_rng(2)
+    zs, Rs = [], []
+    for slot in [0, 2, 3, 1]:
+        z = measurement_of(state, slot, noise=0.05, rng=rng)
+        zs.append(z)
+        Rs.append(np.diag([abs(z[0]) * 0.1, abs(z[1]) * 5.0]))
+    # plus one brand-new signature
+    zs.append(np.array([1.0, 45.0, 9.0]))
+    Rs.append(np.diag([0.1, 225.0]))
+    zs_j = jnp.asarray(np.stack(zs))
+    Rs_j = jnp.asarray(np.stack(Rs))
+    new_b, slot_b = gate_batch(state, zs_j, Rs_j, PARAMS)
+    for m in range(len(zs)):
+        new_s, slot_s, _ = gate(state, zs_j[m], Rs_j[m], PARAMS)
+        assert bool(new_b[m]) == bool(new_s), m
+        if not bool(new_s):
+            assert int(slot_b[m]) == int(slot_s), m
+
+
+def test_gate_batch_ml_mode():
+    from ekf_slam_tpu.config import EKFParams
+    from ekf_slam_tpu.ops.association import gate, gate_batch
+    p = EKFParams(capacity=8, association="ml", s_cost=1e6, s_thresh=50.0,
+                  ref_compat=False, dtype=jnp.float64)
+    state, _ = make_pair(3, seed=12)
+    rng = np.random.default_rng(5)
+    z = measurement_of(state, 1, noise=0.02, rng=rng)
+    z[2] = 2.0
+    R = np.diag([abs(z[0]) * 0.1, abs(z[1]) * 5.0])
+    new_b, slot_b = gate_batch(state, jnp.asarray(z)[None],
+                               jnp.asarray(R)[None], p)
+    new_s, slot_s, _ = gate(state, jnp.asarray(z), jnp.asarray(R), p)
+    assert bool(new_b[0]) == bool(new_s)
+    if not bool(new_s):
+        assert int(slot_b[0]) == int(slot_s)
