@@ -161,14 +161,32 @@ class MeshConfig:
 
 def ref_compat_uc(capacity: int = 128, **kw) -> EKFParams:
     """EKF_SLAM_UC preset (EKF_SLAM_UC.m:12-16)."""
-    return EKFParams(capacity=capacity, rc=(0.1, 5.0),
-                     association=ASSOC_SIGNATURE, ref_compat=True, **kw)
+    kw.setdefault("rc", (0.1, 5.0))
+    kw.setdefault("association", ASSOC_SIGNATURE)
+    kw.setdefault("ref_compat", True)
+    return EKFParams(capacity=capacity, **kw)
 
 
 def ref_compat_known(capacity: int = 128, **kw) -> EKFParams:
     """EKF_SLAM preset, known correspondence (EKF_SLAM.m:12-16)."""
-    return EKFParams(capacity=capacity, rc=(0.01, 5.0),
-                     association=ASSOC_KNOWN, ref_compat=True, **kw)
+    kw.setdefault("rc", (0.01, 5.0))
+    kw.setdefault("association", ASSOC_KNOWN)
+    kw.setdefault("ref_compat", True)
+    return EKFParams(capacity=capacity, **kw)
+
+
+def ref_compat_legacy(capacity: int = 128, **kw) -> EKFParams:
+    """Legacy script-pipeline preset (SLAM_ransac.m:17: Rc = [10, 1]).
+
+    The reference's inlined functional pipeline used different measurement
+    noise than either filter class; it also relied on free functions
+    (append.m) rather than the classes — the analog here is driving
+    models/ekf.py's pure functions directly (examples/legacy_pipeline.py).
+    """
+    kw.setdefault("rc", (10.0, 1.0))
+    kw.setdefault("association", ASSOC_KNOWN)
+    kw.setdefault("ref_compat", True)
+    return EKFParams(capacity=capacity, **kw)
 
 
 def sim_ransac(n_beams: int = 1024, **kw) -> RansacParams:

@@ -123,18 +123,22 @@ class SlamSession:
             dTh = angdiff_deg(carry.old_odom[2], odom_pose[2])
             u = jnp.stack([dD, dTh]).astype(ep.dtype)
 
-            filt = ekf.predict(carry.filt, u, ep)          # SLAM.m:110
+            with jax.named_scope("ekf_predict"):
+                filt = ekf.predict(carry.filt, u, ep)      # SLAM.m:110
 
             key, sub = jax.random.split(carry.key)
-            scan = scan_from_ranges(ranges, beam_angles)
-            obs, table = self._extract(carry.table, scan, filt.x,
-                                       filt.n_active, sub, rp, ep.max_obs)
+            with jax.named_scope("ransac_extract"):
+                scan = scan_from_ranges(ranges, beam_angles)
+                obs, table = self._extract(carry.table, scan, filt.x,
+                                           filt.n_active, sub, rp,
+                                           ep.max_obs)
             pre_measure = filt
-            if ep.update_mode == "batched":
-                from .models.batched import measure_batched
-                filt = measure_batched(filt, obs, u, ep)
-            else:
-                filt = ekf.measure(filt, obs, u, ep)       # SLAM.m:116
+            with jax.named_scope("ekf_measure"):
+                if ep.update_mode == "batched":
+                    from .models.batched import measure_batched
+                    filt = measure_batched(filt, obs, u, ep)
+                else:
+                    filt = ekf.measure(filt, obs, u, ep)   # SLAM.m:116
             if ep.guard_max_jump is not None:
                 from .utils.faults import guarded
                 filt, _ = guarded(pre_measure, filt, ep.guard_max_jump)
