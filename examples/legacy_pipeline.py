@@ -46,6 +46,13 @@ def main():
     key = jax.random.PRNGKey(1)
     old_odom = np.asarray(traj.odom[0])
 
+    # jit the pure kernels once — the functional API stays explicit, the
+    # compilation is per-function, not per-tick
+    predict = jax.jit(lambda s, u: ekf.predict(s, u, ep))
+    extract = jax.jit(lambda t, r, x, n, k: ransac.extract(
+        t, scan_from_ranges(r, traj.beam_angles), x, n, k, rp, ep.max_obs))
+    measure = jax.jit(lambda s, o, u: ekf.measure(s, o, u, ep))
+
     # the inlined loop (SLAM_ransac.m:24-100), functional style
     for t in range(T):
         od = np.asarray(traj.odom[t])
@@ -53,12 +60,11 @@ def main():
                          float(angdiff_deg(old_odom[2], od[2]))], jnp.float32)
         old_odom = od
 
-        state = ekf.predict(state, u, ep)                     # :74
+        state = predict(state, u)                             # :74
         key, sub = jax.random.split(key)
-        scan = scan_from_ranges(traj.ranges[t], traj.beam_angles)
-        obs, table = ransac.extract(table, scan, state.x, state.n_active,
-                                    sub, rp, ep.max_obs)      # :81
-        state = ekf.measure(state, obs, u, ep)                # :96-99
+        obs, table = extract(table, traj.ranges[t], state.x,
+                             state.n_active, sub)             # :81
+        state = measure(state, obs, u)                        # :96-99
 
     est = np.asarray(state.x[:3])
     truth = np.asarray(traj.truth[-1])
