@@ -170,10 +170,44 @@ def _oracle_at(k: int) -> float:
     return N_ORACLE / dt
 
 
+def frames_per_sec() -> float:
+    """Full-pipeline session throughput: odometry → predict → RANSAC →
+    gate → update, T ticks fused in one lax.scan (the runSlam tick,
+    SLAM.m:70-144)."""
+    from ekf_slam_tpu.config import RansacParams
+    from ekf_slam_tpu.session import SlamSession
+    from ekf_slam_tpu.sim import world as W
+    from ekf_slam_tpu.config import SimConfig
+
+    T = 128
+    cfg = SimConfig(n_beams=1024, max_range=12.0)
+    room = W.rectangle_room(4.0, 3.0)
+    traj = W.simulate(room, W.circle_controls(T, 0.05, 3.0), cfg,
+                      jax.random.PRNGKey(0))
+    sess = SlamSession(
+        ekf_params=EKFParams(capacity=128, max_obs=8, ref_compat=False,
+                             update_mode="batched", dtype=jnp.float32),
+        ransac_params=RansacParams(
+            line_consensus=60, bearing_window_deg=15.0,
+            wall_search_timeout=4, table_capacity=64, promote_count=5,
+            ref_compat=False, n_hypotheses=64, dtype=jnp.float32),
+        seed=1)
+    odom = jnp.asarray(traj.odom, jnp.float32)
+    rng = jnp.asarray(traj.ranges, jnp.float32)
+    beams = jnp.asarray(traj.beam_angles, jnp.float32)
+    carry = sess.init_carry(first_odom=odom[0])
+    dt = _time(lambda: sess._run(carry, odom, rng, beams))
+    return T / dt
+
+
 def main():
     params = EKFParams(capacity=K, association="ml", s_cost=1e6,
                        s_thresh=1e12, ref_compat=False, dtype=jnp.float32)
     plat = jax.devices()[0].platform
+    if os.environ.get("BENCH_FRAMES") == "1":
+        fps = frames_per_sec()
+        print(f"[bench] session frames/s (full pipeline, 1024 beams, "
+              f"cap 128): {fps:.1f}", file=sys.stderr)
     bat = batched_updates_per_sec(params)
     print(f"[bench] batched (M={BATCH}): {bat:.1f} updates/s @ {K} "
           f"landmarks ({plat})", file=sys.stderr)
