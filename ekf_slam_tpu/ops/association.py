@@ -39,6 +39,35 @@ def _lm_diag_blocks(P: jnp.ndarray, K: int) -> jnp.ndarray:
                       jnp.stack([p10, p11], -1)], axis=1)
 
 
+def _phi_base(A: jnp.ndarray, B: jnp.ndarray, Prr: jnp.ndarray,
+              Prl: jnp.ndarray, Pll: jnp.ndarray) -> jnp.ndarray:
+    """Φ0_k = A·Prr·Aᵀ + A·Prl·Bᵀ + B·Prlᵀ·Aᵀ + B·Pll·Bᵀ as [K,2,2].
+
+    Fully unrolled over the tiny (2,3) dims: ~60 [K]-vector mul-adds on the
+    VPU.  Batched 2×3 matmuls would be padded onto MXU tiles — orders of
+    magnitude more silicon for the same math."""
+    K = A.shape[0]
+
+    def accum(i, j):
+        # A Prr Aᵀ
+        s = sum(A[:, i, p] * Prr[p, q] * A[:, j, q]
+                for p in range(3) for q in range(3))
+        # A Prl Bᵀ + B Prlᵀ Aᵀ
+        s = s + sum(A[:, i, p] * Prl[:, p, q] * B[:, j, q]
+                    for p in range(3) for q in range(2))
+        s = s + sum(B[:, i, p] * Prl[:, q, p] * A[:, j, q]
+                    for p in range(2) for q in range(3))
+        # B Pll Bᵀ
+        s = s + sum(B[:, i, p] * Pll[:, p, q] * B[:, j, q]
+                    for p in range(2) for q in range(2))
+        return s
+
+    return jnp.stack([
+        jnp.stack([accum(0, 0), accum(0, 1)], axis=-1),
+        jnp.stack([accum(1, 0), accum(1, 1)], axis=-1),
+    ], axis=1)
+
+
 def gate_costs(state, z: jnp.ndarray, R2: jnp.ndarray, params: EKFParams
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-slot (position_cost, signature_cost) against measurement z.
@@ -78,12 +107,7 @@ def gate_costs(state, z: jnp.ndarray, R2: jnp.ndarray, params: EKFParams
     Prl = P[:3, 3:end].reshape(3, K, 2).transpose(1, 0, 2)     # [K,3,2]
     Pll = _lm_diag_blocks(P, K)                                # [K,2,2]
 
-    APrl = jnp.matmul(A, Prl)                  # [K,2,2]
-    Phi = (jnp.matmul(jnp.matmul(A, Prr[None]), A.transpose(0, 2, 1))
-           + jnp.matmul(APrl, B.transpose(0, 2, 1))
-           + jnp.matmul(B, APrl.transpose(0, 2, 1))
-           + jnp.matmul(jnp.matmul(B, Pll), B.transpose(0, 2, 1))
-           + R2[None].astype(P.dtype))         # [K,2,2]
+    Phi = _phi_base(A, B, Prr, Prl, Pll) + R2[None].astype(P.dtype)
 
     # batched 2x2 solve: position_cost = nu' Phi^-1 nu  (Correspondence.m:69)
     det = (Phi[:, 0, 0] * Phi[:, 1, 1] - Phi[:, 0, 1] * Phi[:, 1, 0])
@@ -142,11 +166,7 @@ def gate_batch(state, zs: jnp.ndarray, Rs: jnp.ndarray, params: EKFParams
     Prl = P[:3, 3:end].reshape(3, K, 2).transpose(1, 0, 2)
     Pll = _lm_diag_blocks(P, K)
 
-    APrl = jnp.matmul(A, Prl)
-    Phi0 = (jnp.matmul(jnp.matmul(A, Prr[None]), A.transpose(0, 2, 1))
-            + jnp.matmul(APrl, B.transpose(0, 2, 1))
-            + jnp.matmul(B, APrl.transpose(0, 2, 1))
-            + jnp.matmul(jnp.matmul(B, Pll), B.transpose(0, 2, 1)))  # [K,2,2]
+    Phi0 = _phi_base(A, B, Prr, Prl, Pll)                        # [K,2,2]
 
     Phi = Phi0[None] + Rs[:, None].astype(P.dtype)               # [M,K,2,2]
     det = Phi[..., 0, 0] * Phi[..., 1, 1] - Phi[..., 0, 1] * Phi[..., 1, 0]
