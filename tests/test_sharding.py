@@ -73,3 +73,21 @@ def test_covariance_stays_sharded():
     assert len(shards) == 8
     rows = {s.data.shape[0] for s in shards}
     assert rows == {P.shape[0] // 8}
+
+
+def test_sharded_batched_mode_composes():
+    """update_mode='batched' under covariance row-tiling: results match the
+    unsharded batched session."""
+    traj, _ = make_traj(T=20)
+    ep = EKFParams(capacity=16, max_obs=8, ref_compat=False,
+                   update_mode="batched", dtype=jnp.float64)
+    ref = SlamSession(ekf_params=ep, ransac_params=SIM_RANSAC, seed=5)
+    c_ref, _ = ref.run(traj.odom, traj.ranges, traj.beam_angles)
+    sh = ShardedSlamSession(mesh=make_mesh(), ekf_params=ep,
+                            ransac_params=SIM_RANSAC, seed=5)
+    c_sh, _ = sh.run(traj.odom, traj.ranges, traj.beam_angles)
+    d = 3 + 2 * int(c_ref.filt.n_active)
+    assert int(c_sh.filt.n_active) == int(c_ref.filt.n_active)
+    np.testing.assert_allclose(np.asarray(c_sh.filt.x[:d]),
+                               np.asarray(c_ref.filt.x[:d]),
+                               rtol=1e-8, atol=1e-10)

@@ -148,3 +148,20 @@ def test_known_correspondence_session():
     carry, outs = sess.run(traj.odom, traj.ranges, traj.beam_angles)
     assert np.all(np.isfinite(np.asarray(carry.filt.x)))
     assert int(carry.filt.n_active) >= 1
+
+
+def test_session_batched_mode_ate_bounded():
+    """The joint batched-innovation update must track truth as well as the
+    sequential chain at session level (fast path, models/batched.py)."""
+    traj, _ = make_traj(T=150)
+    sess = SlamSession(
+        algorithm="EKF_SLAM_UC",
+        ekf_params=EKFParams(capacity=16, max_obs=8, ref_compat=False,
+                             update_mode="batched", dtype=jnp.float64),
+        ransac_params=SIM_RANSAC, seed=1)
+    carry, outs = sess.run(traj.odom, traj.ranges, traj.beam_angles)
+    assert int(carry.filt.n_active) >= 1
+    ate = float(W.ate_rmse(outs.pose[:, :2], traj.truth[:, :2]))
+    assert ate < 0.5, ate
+    P = np.asarray(carry.filt.P)
+    assert np.all(np.isfinite(P))
