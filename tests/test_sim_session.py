@@ -165,3 +165,63 @@ def test_session_batched_mode_ate_bounded():
     assert ate < 0.5, ate
     P = np.asarray(carry.filt.P)
     assert np.all(np.isfinite(P))
+
+
+def test_session_ml_gate_end_to_end():
+    """Full Mahalanobis gating (the math the reference builds but discards,
+    Correspondence.m:69-75) driving association e2e: landmarks associate by
+    position, not signature."""
+    traj, _ = make_traj(T=150)
+    sess = SlamSession(
+        algorithm="EKF_SLAM_UC",
+        ekf_params=EKFParams(capacity=16, max_obs=8, ref_compat=False,
+                             association="ml", s_cost=1e9, s_thresh=30.0,
+                             dtype=jnp.float64),
+        ransac_params=SIM_RANSAC, seed=1)
+    carry, outs = sess.run(traj.odom, traj.ranges, traj.beam_angles)
+    n = int(carry.filt.n_active)
+    assert 1 <= n <= 8          # walls of one room — no landmark explosion
+    ate = float(W.ate_rmse(outs.pose[:, :2], traj.truth[:, :2]))
+    # pure-position gating with sparse landmarks is inherently looser than
+    # signature association (this is exactly why the reference's author
+    # shipped the signature-only gate): bounded, not sub-half-meter.
+    assert ate < 1.5, ate
+    assert np.all(np.isfinite(np.asarray(carry.filt.P)))
+
+
+def test_filter_consistency_nis():
+    """Innovation consistency: with correct math + Joseph form, the
+    position-innovation NIS should be chi-square(2)-ish — mean within a
+    loose band, not exploding (the filter is neither overconfident by
+    orders of magnitude nor divergent)."""
+    from ekf_slam_tpu.ops.association import gate_costs
+    traj, _ = make_traj(T=120)
+    ep = EKFParams(capacity=16, max_obs=8, ref_compat=False, joseph=True,
+                   association="ml", s_cost=1e9, s_thresh=30.0,
+                   dtype=jnp.float64)
+    sess = SlamSession(ekf_params=ep, ransac_params=SIM_RANSAC, seed=1)
+    carry = sess.init_carry(first_odom=traj.odom[0])
+    nis_vals = []
+    for t in range(120):
+        prev = carry
+        carry, out = sess.step(carry, traj.odom[t], traj.ranges[t],
+                               traj.beam_angles)
+        v = np.asarray(out.obs.valid)
+        if not v.any() or int(prev.filt.n_active) == 0:
+            continue
+        for m in np.where(v)[0]:
+            z = np.array([float(out.obs.rng[m]), float(out.obs.bearing[m]),
+                          float(out.obs.index[m])])
+            R = np.diag([z[0] * ep.rc[0], z[1] * ep.rc[1]])
+            pos_cost, _ = gate_costs(prev.filt, jnp.asarray(z),
+                                     jnp.asarray(R), ep)
+            active = np.asarray(prev.filt.active)
+            if active.any():
+                c = float(np.min(np.asarray(pos_cost)[active]))
+                if c < 1e4:
+                    nis_vals.append(c)
+    nis_vals = np.asarray(nis_vals)
+    assert len(nis_vals) > 20
+    # chi2(2) mean is 2; allow a generous band (model mismatch: the
+    # reference's value-scaled R is not the simulator's true noise)
+    assert 0.01 < nis_vals.mean() < 50.0, nis_vals.mean()
