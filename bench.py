@@ -40,7 +40,7 @@ from ekf_slam_tpu.state import FilterState, init_state
 K = int(os.environ.get("BENCH_K", "1000"))
 BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 N_SEQ = 64        # sequential updates per timed run
-N_BATCHES = 8     # batched runs per timed run
+N_BATCHES = 32    # batched runs per timed run (amortizes dispatch ~5 ms)
 N_ORACLE = 2      # oracle updates to time (each is seconds at 1k)
 
 
