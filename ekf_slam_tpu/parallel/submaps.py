@@ -134,6 +134,29 @@ class SubmapSlam:
         self._node = int(nid)
 
     # -- loop closure / optimization -----------------------------------------
+    def detect_loop_closures(self, radius: float = 1.0,
+                             min_separation: int = 2,
+                             info=(200.0, 200.0, 200.0)) -> int:
+        """Proximity-based loop-closure detection: when two non-adjacent
+        submap anchors lie within ``radius`` (by current estimates), add a
+        relative-pose edge between them.
+
+        The relative measurement comes from the current anchor estimates —
+        in a live system it would come from scan matching between the two
+        submaps' stored scans; the graph machinery is identical.  Returns
+        the number of closures added."""
+        added = 0
+        for i in range(len(self.submaps)):
+            for j in range(i + min_separation + 1, len(self.submaps)):
+                a, b = self.submaps[i], self.submaps[j]
+                if np.linalg.norm(a.anchor[:2] - b.anchor[:2]) < radius:
+                    z = pg.relative_pose(
+                        jnp.asarray(a.anchor, jnp.float64),
+                        jnp.asarray(b.anchor, jnp.float64))
+                    self.add_loop_closure(i, j, np.asarray(z), info)
+                    added += 1
+        return added
+
     def add_loop_closure(self, i: int, j: int, z_rel, info=(200.0, 200.0,
                                                            200.0)):
         """Relative-pose constraint between submap i's and submap j's

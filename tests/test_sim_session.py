@@ -225,3 +225,27 @@ def test_filter_consistency_nis():
     # chi2(2) mean is 2; allow a generous band (model mismatch: the
     # reference's value-scaled R is not the simulator's true noise)
     assert 0.01 < nis_vals.mean() < 50.0, nis_vals.mean()
+
+
+def test_long_run_f32_stability():
+    """Production dtype: 1000 fused ticks at f32 with Joseph-form updates —
+    covariance must stay finite, near-symmetric, and positive on the
+    diagonal (the (I−KH)P form famously drifts; SURVEY.md §5)."""
+    traj, _ = make_traj(T=1000)
+    ep = EKFParams(capacity=16, max_obs=8, ref_compat=False, joseph=True,
+                   update_mode="batched", dtype=jnp.float32)
+    rp = RansacParams(line_consensus=60, bearing_window_deg=15.0,
+                      wall_search_timeout=4, table_capacity=32,
+                      promote_count=5, ref_compat=False, dtype=jnp.float32)
+    sess = SlamSession(ekf_params=ep, ransac_params=rp, seed=1)
+    carry, outs = sess.run(jnp.asarray(traj.odom, jnp.float32),
+                           jnp.asarray(traj.ranges, jnp.float32),
+                           jnp.asarray(traj.beam_angles, jnp.float32))
+    from ekf_slam_tpu.utils.metrics import filter_health
+    h = filter_health(carry.filt)
+    assert bool(h.finite)
+    assert float(h.min_diag) > -1e-4
+    assert float(h.asym) < 1e-2
+    ate = float(W.ate_rmse(outs.pose[:, :2].astype(jnp.float64),
+                           traj.truth[:, :2]))
+    assert ate < 1.0, ate

@@ -90,3 +90,24 @@ def test_submap_loop_closure_improves_anchors():
                       abs(lm[1] - 3), abs(lm[1] + 3))
         assert d_walls < 0.5, lm
         assert abs(lm[0]) < 4.6 and abs(lm[1]) < 3.6, lm
+
+
+def test_auto_loop_closure_detection():
+    """Drive two full circles: the second pass brings anchors back near
+    the first pass's anchors — detection must find closures and
+    optimization must keep the graph consistent."""
+    traj = make_loop_traj(T=240)
+    slam = SubmapSlam(
+        ekf_params=EKFParams(capacity=16, max_obs=8, ref_compat=False,
+                             dtype=jnp.float64),
+        ransac_params=SIM_RANSAC, ticks_per_submap=30, seed=1)
+    slam.run(np.asarray(traj.odom), np.asarray(traj.ranges),
+             traj.beam_angles)
+    assert len(slam.submaps) == 8          # two circles, 4 submaps each
+    n_closed = slam.detect_loop_closures(radius=1.0)
+    assert n_closed >= 1                   # revisits detected
+    err_before = float(pg.graph_error(slam.graph))
+    slam.optimize(iters=10)
+    err_after = float(pg.graph_error(slam.graph))
+    assert np.isfinite(err_after)
+    assert err_after <= err_before + 1e-6
