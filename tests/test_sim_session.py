@@ -249,3 +249,31 @@ def test_long_run_f32_stability():
     ate = float(W.ate_rmse(outs.pose[:, :2].astype(jnp.float64),
                            traj.truth[:, :2]))
     assert ate < 1.0, ate
+
+
+def test_obstacle_world_batched_ml():
+    """Richer world (room + box obstacles => many wall lines), batched ML
+    association: the full config-3 shape (fixed-capacity masked state +
+    batched association + loop trajectory)."""
+    cfg = SimConfig(n_beams=1024, max_range=12.0, range_noise_std=0.01,
+                    odom_xy_noise_std=0.0005, odom_theta_noise_std=0.02)
+    world = W.world_with_obstacles(
+        4.0, 3.0, boxes=((2.0, 1.5, 0.5), (-2.0, -1.5, 0.6)))
+    controls = W.circle_controls(200, dD=0.04, dTh=2.0)
+    traj = W.simulate(world, controls, cfg, jax.random.PRNGKey(4))
+    rp = RansacParams(line_consensus=40, bearing_window_deg=12.0,
+                      wall_search_timeout=6, table_capacity=64,
+                      promote_count=4, ref_compat=False,
+                      n_hypotheses=64, dtype=jnp.float64)
+    sess = SlamSession(
+        ekf_params=EKFParams(capacity=32, max_obs=8, ref_compat=False,
+                             update_mode="batched", association="ml",
+                             s_cost=1e9, s_thresh=30.0, joseph=True,
+                             dtype=jnp.float64),
+        ransac_params=rp, seed=2)
+    carry, outs = sess.run(traj.odom, traj.ranges, traj.beam_angles)
+    assert int(carry.filt.n_active) >= 2
+    assert np.all(np.isfinite(np.asarray(carry.filt.P)))
+    ate = float(W.ate_rmse(outs.pose[:, :2], traj.truth[:, :2]))
+    ate_odo = float(W.ate_rmse(traj.odom[:, :2], traj.truth[:, :2]))
+    assert ate < max(1.5, 3 * ate_odo), (ate, ate_odo)
