@@ -118,3 +118,24 @@ def test_viz_ellipse_math():
     ell = viz.covariance_ellipse([0, 0], np.eye(2) * 0.04, 1.0)
     r = np.hypot(ell[:, 0], ell[:, 1])
     np.testing.assert_allclose(r, 2 * np.sqrt(2.2788 * 0.04), atol=1e-6)
+
+
+def test_debug_validate_state():
+    from ekf_slam_tpu.utils import debug
+    from test_sim_session import make_traj
+    traj, _ = make_traj(T=40)
+    ep = EKFParams(capacity=16, max_obs=8, ref_compat=False,
+                   dtype=jnp.float64)
+    sess = SlamSession(ekf_params=ep, ransac_params=SIM_RANSAC, seed=1)
+    carry, _ = sess.run(traj.odom, traj.ranges, traj.beam_angles)
+    debug.validate_state(carry.filt, ep)     # must pass on a healthy run
+
+    # corrupt it -> must raise
+    import pytest
+    bad = carry.filt._replace(x=carry.filt.x.at[0].set(jnp.nan))
+    with pytest.raises(AssertionError):
+        debug.validate_state(bad, ep)
+    bad2 = carry.filt._replace(
+        P=carry.filt.P.at[ep.dim - 1, ep.dim - 1].set(1.0))
+    with pytest.raises(AssertionError):
+        debug.validate_state(bad2, ep)
