@@ -40,7 +40,10 @@ from ekf_slam_tpu.state import FilterState, init_state
 K = int(os.environ.get("BENCH_K", "1000"))
 BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 N_SEQ = 64        # sequential updates per timed run
-N_BATCHES = 32    # batched runs per timed run (amortizes dispatch ~5 ms)
+# batched runs per timed run: amortizes the ~5 ms dispatch at small K;
+# at 10k landmarks each batch is ~14 ms (dispatch negligible) and the
+# 32-iteration program has been seen to wedge the remote compiler.
+N_BATCHES = 32 if K <= 2000 else 8
 N_ORACLE = 2      # oracle updates to time (each is seconds at 1k)
 
 
