@@ -97,7 +97,10 @@ def update_batch(state: FilterState, zs: jnp.ndarray, slots: jnp.ndarray,
         jnp.where(valid, Rs[:, 1, 0].astype(dt), 0.0))
     S = S + Rblk
 
-    Kg = jnp.linalg.solve(S.T, PHt.T).T                        # [D,2M]
+    # S is symmetric PSD (H·P·Hᵀ + R with identity blocks in masked slots):
+    # Cholesky solve beats LU on TPU for the [2M,2M] system.
+    chol = jax.scipy.linalg.cho_factor(S, lower=True)
+    Kg = jax.scipy.linalg.cho_solve(chol, PHt.T).T             # [D,2M]
 
     x = x + Kg @ nu
     if params.joseph:
