@@ -1,0 +1,71 @@
+"""Explicit-collective distributed update vs single-device batched update."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ekf_slam_tpu.config import EKFParams
+from ekf_slam_tpu.models import batched, ekf
+from ekf_slam_tpu.parallel.mesh import make_mesh
+from ekf_slam_tpu.parallel.shard_update import sharded_update_batch
+from ekf_slam_tpu.state import FilterState, init_state
+
+from test_batched import measurement_of
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def make_state(params, n_landmarks, seed=0):
+    rng = np.random.default_rng(seed)
+    st = init_state(params, pad_to_multiple_of=8)
+    for k in range(n_landmarks):
+        u = rng.uniform(-0.2, 0.2, 2)
+        loc = rng.uniform(-3, 3, 2)
+        R = np.diag(rng.uniform(0.01, 0.1, 2))
+        st = ekf.predict(st, jnp.asarray(u), params)
+        st = ekf.append(st, jnp.asarray(u), jnp.asarray(R),
+                        jnp.asarray(loc), float(k + 1), params)
+    return st
+
+
+def test_shard_map_update_matches_single_device():
+    params = EKFParams(capacity=8, ref_compat=False, dtype=jnp.float64)
+    state = make_state(params, 4, seed=3)
+    rng = np.random.default_rng(1)
+    zs, Rs = [], []
+    for slot in [0, 2, 1]:
+        z = measurement_of(state, slot, noise=0.02, rng=rng)
+        zs.append(z)
+        Rs.append(np.diag([abs(z[0]) * 0.1, abs(z[1]) * 5.0]))
+    zs = jnp.asarray(np.stack(zs))
+    Rs = jnp.asarray(np.stack(Rs))
+    slots = jnp.asarray([0, 2, 1])
+    valid = jnp.ones((3,), bool)
+
+    ref = batched.update_batch(state, zs, slots, Rs, valid, params)
+
+    mesh = make_mesh()
+    out = sharded_update_batch(state, zs, slots, Rs, valid, params, mesh)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.P), np.asarray(ref.P),
+                               rtol=1e-8, atol=1e-11)
+
+
+def test_shard_map_update_masked_rows():
+    params = EKFParams(capacity=8, ref_compat=False, dtype=jnp.float64)
+    state = make_state(params, 3, seed=5)
+    rng = np.random.default_rng(2)
+    z = measurement_of(state, 1, noise=0.02, rng=rng)
+    R = np.diag([abs(z[0]) * 0.1, abs(z[1]) * 5.0])
+    zs = jnp.asarray(np.stack([z, [9.0, 9.0, 7.0]]))
+    Rs = jnp.asarray(np.stack([R, np.eye(2)]))
+    slots = jnp.asarray([1, 0])
+    valid = jnp.asarray([True, False])
+
+    mesh = make_mesh()
+    out = sharded_update_batch(state, zs, slots, Rs, valid, params, mesh)
+    ref = batched.update_batch(state, zs, slots, Rs, valid, params)
+    np.testing.assert_allclose(np.asarray(out.P), np.asarray(ref.P),
+                               rtol=1e-8, atol=1e-11)
