@@ -245,6 +245,10 @@ def update_table(table: LandmarkTable, cands: jnp.ndarray,
     table pass in parallel."""
     C = params.table_capacity
     dt = params.dtype
+    # normalize input precision: candidates/pose may arrive f64 (e.g. x64
+    # test runs feeding an f32-config table)
+    cands = cands.astype(dt)
+    pose = pose.astype(dt)
     any_cand = jnp.any(cand_ok)
     table_empty = ~jnp.any(table.used)
 

@@ -1,0 +1,29 @@
+"""Examples must stay runnable (executed in-process on the CPU backend)."""
+import os
+import runpy
+import sys
+
+import pytest
+
+EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
+
+
+def run_example(name, argv):
+    old = sys.argv
+    sys.argv = [name] + argv
+    try:
+        runpy.run_path(os.path.join(EXAMPLES, name), run_name="__main__")
+    finally:
+        sys.argv = old
+
+
+def test_run_sim_slam_example(capsys):
+    run_example("run_sim_slam.py", ["--ticks", "40"])
+    out = capsys.readouterr().out
+    assert "ATE slam=" in out
+
+
+def test_fleet_example(capsys):
+    run_example("fleet_mapping.py", ["--robots", "2", "--ticks", "25"])
+    out = capsys.readouterr().out
+    assert out.count("robot ") == 2
