@@ -1,0 +1,202 @@
+"""Fused Pallas gating kernel: ML association costs for M×K pairs.
+
+The XLA gate (ops/association.gate_batch) is already strip-based and
+gather-free; this kernel fuses the whole cost evaluation — Φ base assembly
+from the pose/diagonal strips, per-measurement R add, 2×2 Mahalanobis
+solve, signature cost — into ONE VMEM-resident pass over the landmark
+tiles, emitting the [M,K] cost matrix without materializing any [K,2,2]
+intermediates in HBM.
+
+Inputs are the same precomputed strips the XLA path uses (all O(K), cheap
+to produce):
+  lm [K,2], sig [K], active [K] — landmark table slices of the state
+  prr [3,3] — pose covariance block (broadcast, SMEM-sized)
+  prl [K,6] — pose↔landmark strip, row-major (P[0:3, 3+2k:5+2k] flattened)
+  pll [K,4] — landmark diagonal blocks flattened (p00, p01, p10, p11)
+  pose [3], zs [M,3], rdiag [M,2]
+Output: cost [M,K] (position + signature or signature-only upstream).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_DEG = 3.14159265358979323846 / 180.0
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def _gate_kernel(pose_ref, prr_ref, zs_ref, rdiag_ref, lm_ref, sig_ref,
+                 act_ref, prl_ref, pll_ref, scost_ref, out_ref, *,
+                 wrap_innovation: bool):
+    # landmark tile data                                  [TK]
+    lx = lm_ref[:, 0]
+    ly = lm_ref[:, 1]
+    xr = pose_ref[0, 0]
+    yr = pose_ref[0, 1]
+    th = pose_ref[0, 2]
+
+    dx = lx - xr
+    dy = ly - yr
+    q = dx * dx + dy * dy
+    q = jnp.where(q == 0.0, 1.0, q)
+    sq = jnp.sqrt(q)
+    inv_q = 1.0 / q
+
+    # H blocks (Correspondence.m:62-63), rows r=(range), b=(bearing):
+    # A = [[-sq dx, -sq dy, 0], [dy, -dx, -q]]/q ; B = [[sq dx, sq dy],
+    # [-dy, dx]]/q
+    a00 = -sq * dx * inv_q
+    a01 = -sq * dy * inv_q
+    a10 = dy * inv_q
+    a11 = -dx * inv_q
+    a12 = -1.0
+    b00 = sq * dx * inv_q
+    b01 = sq * dy * inv_q
+    b10 = -dy * inv_q
+    b11 = dx * inv_q
+
+    p = prr_ref[:]                                         # [3,3] (VMEM)
+    prl = prl_ref[:]                                       # [TK,6]
+    pll = pll_ref[:]                                       # [TK,4]
+
+    # Phi0 = A Prr A^T + A Prl B^T + B Prl^T A^T + B Pll B^T, unrolled.
+    def arow(i, j):  # A[i,:] . Prr . A[j,:]
+        ai = (a00, a01, jnp.zeros_like(q)) if i == 0 else (a10, a11,
+                                                           a12 + 0 * q)
+        aj = (a00, a01, jnp.zeros_like(q)) if j == 0 else (a10, a11,
+                                                           a12 + 0 * q)
+        s = 0.0
+        for pp in range(3):
+            for qq in range(3):
+                s = s + ai[pp] * p[pp, qq] * aj[qq]
+        return s
+
+    A0 = (a00, a01, jnp.zeros_like(q))
+    A1 = (a10, a11, a12 + 0 * q)
+    B0 = (b00, b01)
+    B1 = (b10, b11)
+
+    def aprlb(Ai, Bj):   # A[i,:] . Prl_k . B[j,:]
+        s = 0.0
+        for pp in range(3):
+            for qq in range(2):
+                s = s + Ai[pp] * prl[:, 2 * pp + qq] * Bj[qq]
+        return s
+
+    def bpllb(Bi, Bj):   # B[i,:] . Pll_k . B[j,:]
+        return (Bi[0] * (pll[:, 0] * Bj[0] + pll[:, 1] * Bj[1])
+                + Bi[1] * (pll[:, 2] * Bj[0] + pll[:, 3] * Bj[1]))
+
+    phi00 = arow(0, 0) + 2.0 * aprlb(A0, B0) + bpllb(B0, B0)
+    phi11 = arow(1, 1) + 2.0 * aprlb(A1, B1) + bpllb(B1, B1)
+    phi01 = arow(0, 1) + aprlb(A0, B1) + aprlb(A1, B0) + bpllb(B0, B1)
+
+    # predicted measurement
+    zr = sq
+    zphi = jnp.arctan2(dy, dx) / _DEG - th
+    zphi = zphi - jnp.floor(zphi / 360.0) * 360.0          # wrapTo360-ish
+
+    act = act_ref[:] > 0.0
+    sig = sig_ref[:]
+    inv_scost = scost_ref[0, 0]
+
+    M = zs_ref.shape[0]
+    for m in range(M):
+        zr_m = zs_ref[m, 0]
+        zphi_m = zs_ref[m, 1]
+        zsig_m = zs_ref[m, 2]
+        r0 = rdiag_ref[m, 0]
+        r1 = rdiag_ref[m, 1]
+
+        n0 = zr_m - zr
+        n1 = zphi_m - zphi
+        if wrap_innovation:
+            n1 = n1 - jnp.floor((n1 + 180.0) / 360.0) * 360.0
+
+        s00 = phi00 + r0
+        s11 = phi11 + r1
+        det = s00 * s11 - phi01 * phi01
+        pos = (n0 * (s11 * n0 - phi01 * n1)
+               + n1 * (-phi01 * n0 + s00 * n1)) / det
+        sigc = (zsig_m - sig) * (zsig_m - sig) * inv_scost
+        cost = pos + sigc
+        out_ref[m, :] = jnp.where(act, cost, jnp.inf)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("wrap_innovation", "interpret"))
+def gate_costs_pallas(pose, prr, zs, rdiag, lm, sig, active, prl, pll,
+                      s_cost, wrap_innovation: bool = True,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Fused [M,K] ML gating costs (position + signature).  See module doc
+    for the strip layout; tile over K."""
+    K = lm.shape[0]
+    M = zs.shape[0]
+    dt = lm.dtype
+    TK = 512 if K >= 512 else _round_up(K, 128)
+    Kp = _round_up(K, TK)
+
+    def pad(a, rows, fill=0.0):
+        out = jnp.full((rows,) + a.shape[1:], fill, dt)
+        return out.at[:a.shape[0]].set(a.astype(dt))
+
+    lm_p = pad(lm, Kp)
+    sig_p = pad(sig, Kp)
+    act_p = pad(active.astype(dt), Kp)
+    prl_p = pad(prl, Kp)
+    pll_p = pad(pll, Kp)
+    pose_p = pose.astype(dt).reshape(1, 3)
+    scost = jnp.asarray(1.0 / s_cost, dt).reshape(1, 1)
+
+    kernel = functools.partial(_gate_kernel,
+                               wrap_innovation=wrap_innovation)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Kp // TK,),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda k: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, 3), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, 3), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, 2), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK, 2), lambda k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK,), lambda k: (k,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK,), lambda k: (k,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK, 6), lambda k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK, 4), lambda k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda k: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((M, TK), lambda k: (0, k),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, Kp), dt),
+        interpret=interpret,
+    )(pose_p, prr.astype(dt), zs.astype(dt), rdiag.astype(dt), lm_p,
+      sig_p, act_p, prl_p, pll_p, scost)
+    return out[:, :K]
+
+
+def strips_from_state(state):
+    """Extract the kernel's strip inputs from a FilterState."""
+    from ..association import _lm_diag_blocks
+    P = state.P
+    K = state.capacity
+    end = 3 + 2 * K
+    prl = P[:3, 3:end].reshape(3, K, 2).transpose(1, 0, 2).reshape(K, 6)
+    pll = _lm_diag_blocks(P, K).reshape(K, 4)
+    return state.landmarks, state.sig, state.active, P[:3, :3], prl, pll
