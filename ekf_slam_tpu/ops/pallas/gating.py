@@ -32,15 +32,14 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
-def _gate_kernel(pose_ref, prr_ref, zs_ref, rdiag_ref, lm_ref, sig_ref,
-                 act_ref, prl_ref, pll_ref, scost_ref, out_ref, *,
+def _gate_kernel(pose_ref, prr_ref, zs_ref, rdiag_ref, lm_ref, zphi_ref,
+                 sig_ref, act_ref, prl_ref, pll_ref, scost_ref, out_ref, *,
                  wrap_innovation: bool):
     # landmark tile data                                  [TK]
     lx = lm_ref[:, 0]
     ly = lm_ref[:, 1]
     xr = pose_ref[0, 0]
     yr = pose_ref[0, 1]
-    th = pose_ref[0, 2]
 
     dx = lx - xr
     dy = ly - yr
@@ -98,10 +97,10 @@ def _gate_kernel(pose_ref, prr_ref, zs_ref, rdiag_ref, lm_ref, sig_ref,
     phi11 = arow(1, 1) + 2.0 * aprlb(A1, B1) + bpllb(B1, B1)
     phi01 = arow(0, 1) + aprlb(A0, B1) + aprlb(A1, B0) + bpllb(B0, B1)
 
-    # predicted measurement
+    # predicted measurement: range in-kernel; bearing precomputed in XLA
+    # (Mosaic has no atan2 lowering — the O(K) trig strip rides in)
     zr = sq
-    zphi = jnp.arctan2(dy, dx) / _DEG - th
-    zphi = zphi - jnp.floor(zphi / 360.0) * 360.0          # wrapTo360-ish
+    zphi = zphi_ref[:]
 
     act = act_ref[:] > 0.0
     sig = sig_ref[:]
@@ -155,6 +154,14 @@ def gate_costs_pallas(pose, prr, zs, rdiag, lm, sig, active, prl, pll,
     pose_p = pose.astype(dt).reshape(1, 3)
     scost = jnp.asarray(1.0 / s_cost, dt).reshape(1, 1)
 
+    # bearing strip (wrapTo360(atan2d - theta)) computed in XLA — Mosaic
+    # has no atan2 primitive.
+    from ..angles import atan2d, wrap_to_360
+    delta = lm.astype(dt) - pose[:2].astype(dt)
+    zphi = wrap_to_360(atan2d(delta[:, 1], delta[:, 0])
+                       - pose[2].astype(dt))
+    zphi_p = pad(zphi[:, None], Kp)[:, 0]
+
     kernel = functools.partial(_gate_kernel,
                                wrap_innovation=wrap_innovation)
     out = pl.pallas_call(
@@ -175,6 +182,8 @@ def gate_costs_pallas(pose, prr, zs, rdiag, lm, sig, active, prl, pll,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TK,), lambda k: (k,),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK,), lambda k: (k,),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((TK, 6), lambda k: (k, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TK, 4), lambda k: (k, 0),
@@ -187,7 +196,7 @@ def gate_costs_pallas(pose, prr, zs, rdiag, lm, sig, active, prl, pll,
         out_shape=jax.ShapeDtypeStruct((M, Kp), dt),
         interpret=interpret,
     )(pose_p, prr.astype(dt), zs.astype(dt), rdiag.astype(dt), lm_p,
-      sig_p, act_p, prl_p, pll_p, scost)
+      zphi_p, sig_p, act_p, prl_p, pll_p, scost)
     return out[:, :K]
 
 
