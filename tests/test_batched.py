@@ -169,3 +169,15 @@ def test_gate_batch_ml_mode():
     assert bool(new_b[0]) == bool(new_s)
     if not bool(new_s):
         assert int(slot_b[0]) == int(slot_s)
+
+
+def test_measure_batched_capacity_full_drops_new():
+    """At capacity, new-landmark observations become no-ops (masked
+    append), matching the sequential path's guard."""
+    state, _ = make_pair(8)            # capacity 8, full
+    u = jnp.array([0.05, 2.0])
+    obs = obs_from_rows([[1.0, 45.0, 99]], [[0.7, 0.7]], PARAMS.max_obs,
+                        jnp.float64)
+    out = batched.measure_batched(state, obs, u, PARAMS)
+    assert int(out.n_active) == 8
+    assert np.all(np.isfinite(np.asarray(out.P)))

@@ -306,3 +306,25 @@ def test_find_walls_batched_nonoverlapping():
     for i in range(len(feet)):
         for j in range(i + 1, len(feet)):
             assert np.linalg.norm(feet[i] - feet[j]) > 0.5, (feet[i], feet[j])
+
+
+def test_obs_batch_truncates_at_max_obs():
+    """More reobserved landmarks than max_obs: compaction keeps the first
+    rows in stamp order and stays shape-stable."""
+    par = RansacParams(table_capacity=16, promote_count=0,
+                       dtype=jnp.float64)
+    table = ransac.init_table(par)
+    cands = [[2.0, 0.0], [0.0, 2.0], [-2.0, 0.0], [0.0, -2.0]]
+    pose = jnp.zeros(3, jnp.float64)
+    # seed + promote all four candidates over a few ticks
+    for _ in range(4):
+        obs, table = ransac.update_table(
+            table, jnp.asarray(cands, jnp.float64), jnp.ones(4, bool),
+            pose, par, max_obs=8)
+    # now all four are indexed; with max_obs=2 only two rows come out
+    obs, table = ransac.update_table(
+        table, jnp.asarray(cands, jnp.float64), jnp.ones(4, bool),
+        pose, par, max_obs=2)
+    assert obs.rng.shape == (2,)
+    assert int(np.asarray(obs.valid).sum()) == 2
+    assert np.all(np.asarray(obs.index)[np.asarray(obs.valid)] > 0)
