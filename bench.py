@@ -38,7 +38,7 @@ from ekf_slam_tpu.oracle.np_ekf import NumpyEKFSLAM
 from ekf_slam_tpu.state import FilterState, init_state
 
 K = int(os.environ.get("BENCH_K", "1000"))
-BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+BATCH = int(os.environ.get("BENCH_BATCH", "512"))
 N_SEQ = 64        # sequential updates per timed run
 # batched runs per timed run: amortizes the ~5 ms dispatch at small K;
 # at 10k landmarks each batch is ~14 ms (dispatch negligible) and the

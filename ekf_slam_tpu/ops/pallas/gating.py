@@ -35,9 +35,9 @@ def _round_up(n, m):
 def _gate_kernel(pose_ref, prr_ref, zs_ref, rdiag_ref, lm_ref, zphi_ref,
                  sig_ref, act_ref, prl_ref, pll_ref, scost_ref, out_ref, *,
                  wrap_innovation: bool):
-    # landmark tile data                                  [TK]
-    lx = lm_ref[:, 0]
-    ly = lm_ref[:, 1]
+    # landmark tile data, transposed layout [rows, TK] (lane dim = TK)
+    lx = lm_ref[0, :]
+    ly = lm_ref[1, :]
     xr = pose_ref[0, 0]
     yr = pose_ref[0, 1]
 
@@ -62,8 +62,8 @@ def _gate_kernel(pose_ref, prr_ref, zs_ref, rdiag_ref, lm_ref, zphi_ref,
     b11 = dx * inv_q
 
     p = prr_ref[:]                                         # [3,3] (VMEM)
-    prl = prl_ref[:]                                       # [TK,6]
-    pll = pll_ref[:]                                       # [TK,4]
+    prl = prl_ref[:]                                       # [6,TK]
+    pll = pll_ref[:]                                       # [4,TK]
 
     # Phi0 = A Prr A^T + A Prl B^T + B Prl^T A^T + B Pll B^T, unrolled.
     def arow(i, j):  # A[i,:] . Prr . A[j,:]
@@ -86,12 +86,12 @@ def _gate_kernel(pose_ref, prr_ref, zs_ref, rdiag_ref, lm_ref, zphi_ref,
         s = 0.0
         for pp in range(3):
             for qq in range(2):
-                s = s + Ai[pp] * prl[:, 2 * pp + qq] * Bj[qq]
+                s = s + Ai[pp] * prl[2 * pp + qq, :] * Bj[qq]
         return s
 
     def bpllb(Bi, Bj):   # B[i,:] . Pll_k . B[j,:]
-        return (Bi[0] * (pll[:, 0] * Bj[0] + pll[:, 1] * Bj[1])
-                + Bi[1] * (pll[:, 2] * Bj[0] + pll[:, 3] * Bj[1]))
+        return (Bi[0] * (pll[0, :] * Bj[0] + pll[1, :] * Bj[1])
+                + Bi[1] * (pll[2, :] * Bj[0] + pll[3, :] * Bj[1]))
 
     phi00 = arow(0, 0) + 2.0 * aprlb(A0, B0) + bpllb(B0, B0)
     phi11 = arow(1, 1) + 2.0 * aprlb(A1, B1) + bpllb(B1, B1)
@@ -100,10 +100,10 @@ def _gate_kernel(pose_ref, prr_ref, zs_ref, rdiag_ref, lm_ref, zphi_ref,
     # predicted measurement: range in-kernel; bearing precomputed in XLA
     # (Mosaic has no atan2 lowering — the O(K) trig strip rides in)
     zr = sq
-    zphi = zphi_ref[:]
+    zphi = zphi_ref[0, :]
 
-    act = act_ref[:] > 0.0
-    sig = sig_ref[:]
+    act = act_ref[0, :] > 0.0
+    sig = sig_ref[0, :]
     inv_scost = scost_ref[0, 0]
 
     M = zs_ref.shape[0]
@@ -142,15 +142,17 @@ def gate_costs_pallas(pose, prr, zs, rdiag, lm, sig, active, prl, pll,
     TK = 512 if K >= 512 else _round_up(K, 128)
     Kp = _round_up(K, TK)
 
-    def pad(a, rows, fill=0.0):
-        out = jnp.full((rows,) + a.shape[1:], fill, dt)
-        return out.at[:a.shape[0]].set(a.astype(dt))
+    def padT(a, fill=0.0):
+        """[K, r] -> padded transpose [r, Kp] (lane dim = landmarks)."""
+        a = jnp.atleast_2d(a.astype(dt).T if a.ndim == 2 else a.astype(dt))
+        out = jnp.full((a.shape[0], Kp), fill, dt)
+        return out.at[:, :K].set(a)
 
-    lm_p = pad(lm, Kp)
-    sig_p = pad(sig, Kp)
-    act_p = pad(active.astype(dt), Kp)
-    prl_p = pad(prl, Kp)
-    pll_p = pad(pll, Kp)
+    lm_p = padT(lm)                        # [2, Kp]
+    sig_p = padT(sig)                      # [1, Kp]
+    act_p = padT(active.astype(dt))        # [1, Kp]
+    prl_p = padT(prl)                      # [6, Kp]
+    pll_p = padT(pll)                      # [4, Kp]
     pose_p = pose.astype(dt).reshape(1, 3)
     scost = jnp.asarray(1.0 / s_cost, dt).reshape(1, 1)
 
@@ -160,7 +162,7 @@ def gate_costs_pallas(pose, prr, zs, rdiag, lm, sig, active, prl, pll,
     delta = lm.astype(dt) - pose[:2].astype(dt)
     zphi = wrap_to_360(atan2d(delta[:, 1], delta[:, 0])
                        - pose[2].astype(dt))
-    zphi_p = pad(zphi[:, None], Kp)[:, 0]
+    zphi_p = padT(zphi)                    # [1, Kp]
 
     kernel = functools.partial(_gate_kernel,
                                wrap_innovation=wrap_innovation)
@@ -176,17 +178,17 @@ def gate_costs_pallas(pose, prr, zs, rdiag, lm, sig, active, prl, pll,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((M, 2), lambda k: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TK, 2), lambda k: (k, 0),
+            pl.BlockSpec((2, TK), lambda k: (0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TK,), lambda k: (k,),
+            pl.BlockSpec((1, TK), lambda k: (0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TK,), lambda k: (k,),
+            pl.BlockSpec((1, TK), lambda k: (0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TK,), lambda k: (k,),
+            pl.BlockSpec((1, TK), lambda k: (0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TK, 6), lambda k: (k, 0),
+            pl.BlockSpec((6, TK), lambda k: (0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TK, 4), lambda k: (k, 0),
+            pl.BlockSpec((4, TK), lambda k: (0, k),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda k: (0, 0),
                          memory_space=pltpu.SMEM),
