@@ -122,9 +122,13 @@ def gate_costs(state, z: jnp.ndarray, R2: jnp.ndarray, params: EKFParams
     return position_cost, signature_cost
 
 
-def gate_batch(state, zs: jnp.ndarray, Rs: jnp.ndarray, params: EKFParams
-               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def gate_batch(state, zs: jnp.ndarray, Rs: jnp.ndarray, params: EKFParams,
+               use_pallas: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Associate M measurements at once: (is_new [M], slot [M]).
+
+    ``use_pallas``: evaluate the [M,K] cost matrix with the fused Pallas
+    kernel (ops/pallas/gating.py — ML cost, wrapped innovation, symmetric-P
+    assumption) instead of the XLA strip path.
 
     The innovation covariance splits as Φ_mk = Φ_k + R_m: the P-dependent
     base Φ_k is assembled ONCE from P's pose strip and landmark-diagonal
@@ -132,6 +136,20 @@ def gate_batch(state, zs: jnp.ndarray, Rs: jnp.ndarray, params: EKFParams
     so the per-measurement work is O(K) elementwise with no extra reads of
     P.  This is the fast path behind models/batched.measure_batched; the
     scalar ``gate`` keeps the reference's one-at-a-time semantics."""
+    if use_pallas:
+        from .pallas.gating import gate_costs_pallas, strips_from_state
+        lm_s, sig_s, act_s, prr_s, prl_s, pll_s = strips_from_state(state)
+        rdiag = jnp.stack([Rs[:, 0, 0], Rs[:, 1, 1]], axis=-1)
+        cost = gate_costs_pallas(state.x[:3], prr_s, zs, rdiag, lm_s,
+                                 sig_s, act_s, prl_s, pll_s, params.s_cost,
+                                 wrap_innovation=not params.ref_compat)
+        inf = jnp.asarray(jnp.inf, cost.dtype)
+        passes = cost <= jnp.asarray(params.s_thresh, cost.dtype)
+        is_new = jnp.logical_not(jnp.any(passes, axis=1))
+        slot = jnp.argmin(jnp.where(passes, cost, inf),
+                          axis=1).astype(jnp.int32)
+        return is_new, slot
+
     x, P = state.x, state.P
     K = state.capacity
     M = zs.shape[0]
