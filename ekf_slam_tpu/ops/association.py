@@ -137,12 +137,15 @@ def gate_batch(state, zs: jnp.ndarray, Rs: jnp.ndarray, params: EKFParams,
     P.  This is the fast path behind models/batched.measure_batched; the
     scalar ``gate`` keeps the reference's one-at-a-time semantics."""
     if use_pallas:
+        import jax as _jax
         from .pallas.gating import gate_costs_pallas, strips_from_state
         lm_s, sig_s, act_s, prr_s, prl_s, pll_s = strips_from_state(state)
         rdiag = jnp.stack([Rs[:, 0, 0], Rs[:, 1, 1]], axis=-1)
         cost = gate_costs_pallas(state.x[:3], prr_s, zs, rdiag, lm_s,
                                  sig_s, act_s, prl_s, pll_s, params.s_cost,
-                                 wrap_innovation=not params.ref_compat)
+                                 wrap_innovation=not params.ref_compat,
+                                 interpret=(_jax.devices()[0].platform
+                                            != "tpu"))
         inf = jnp.asarray(jnp.inf, cost.dtype)
         passes = cost <= jnp.asarray(params.s_thresh, cost.dtype)
         is_new = jnp.logical_not(jnp.any(passes, axis=1))

@@ -41,3 +41,24 @@ def test_gating_kernel_matches_xla():
         np.testing.assert_allclose(got[m][act], want[act], rtol=1e-6,
                                    atol=1e-8)
         assert np.all(np.isinf(got[m][~act]))
+
+
+def test_gate_batch_pallas_flag_matches_xla():
+    """use_pallas=True (interpret on CPU) must agree with the XLA gate."""
+    from ekf_slam_tpu.ops.association import gate_batch
+    params = EKFParams(capacity=8, association="ml", s_cost=1e6,
+                       s_thresh=1e12, ref_compat=False, dtype=jnp.float64)
+    state, _ = make_pair(4, seed=3)
+    state = state._replace(P=0.5 * (state.P + state.P.T))
+    rng = np.random.default_rng(0)
+    zs, Rs = [], []
+    for slot in [1, 0, 3]:
+        z = measurement_of(state, slot, noise=0.02, rng=rng)
+        zs.append(z)
+        Rs.append(np.diag([abs(z[0]) * 0.1, abs(z[1]) * 5.0]))
+    zs = jnp.asarray(np.stack(zs))
+    Rs = jnp.asarray(np.stack(Rs))
+    n1, s1 = gate_batch(state, zs, Rs, params, use_pallas=False)
+    n2, s2 = gate_batch(state, zs, Rs, params, use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
