@@ -18,7 +18,7 @@ host; the oracle performs the reference's dense per-landmark-loop algebra
 >=10x per chip).
 
 Prints ONE JSON line to stdout; details go to stderr.
-Env: BENCH_K (default 1000), BENCH_BATCH (default 64).
+Env: BENCH_K (default 1000), BENCH_BATCH (default 512), BENCH_FRAMES=1.
 """
 from __future__ import annotations
 

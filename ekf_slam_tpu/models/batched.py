@@ -29,8 +29,7 @@ from jax import lax
 
 from ..config import ASSOC_KNOWN, EKFParams
 from ..models import ekf
-from ..ops.angles import atan2d, cosd, sind, wrap_to_180, wrap_to_360
-from ..ops.association import gate
+from ..ops.angles import wrap_to_180
 from ..ops.observations import ObsBatch
 from ..state import FilterState
 

@@ -22,14 +22,13 @@ mathematically-correct forms are used.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..config import (ASSOC_KNOWN, ASSOC_ML, ASSOC_SIGNATURE, EKFParams)
+from ..config import ASSOC_KNOWN, EKFParams
 from ..ops.angles import atan2d, cosd, sind, wrap_to_180, wrap_to_360
 from ..ops.association import gate
 from ..state import FilterState
