@@ -61,7 +61,10 @@ class EKFParams:
     #: measurement-phase scheduling: 'sequential' replays the reference's
     #: per-observation update chain (EKF_SLAM_UC.m:109-150, bit-parity
     #: path); 'batched' applies one joint rank-2M update per tick
-    #: (models/batched.py, the TPU fast path — one pass over P per tick).
+    #: (models/batched.py, the TPU fast path — one pass over P per tick);
+    #: 'srekf' propagates the Cholesky factor of P instead of P itself
+    #: (models/srekf.py — PSD by construction at any precision; the
+    #: conditioning option for f32 at large capacity / tiny R).
     update_mode: str = "sequential"
 
     #: failure detection (utils/faults.py): if set, a tick whose measurement

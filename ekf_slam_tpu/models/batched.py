@@ -42,6 +42,56 @@ def _innovation_blocks(x: jnp.ndarray, slots: jnp.ndarray,
     return jax.vmap(one)(slots)            # zhat [M,2], A [M,2,3], B [M,2,2]
 
 
+def innovation_operator(x: jnp.ndarray, zs: jnp.ndarray, slots: jnp.ndarray,
+                        valid: jnp.ndarray, params: EKFParams, dt
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stacked observation model for M measurements: (Ht [D,2M], nu [2M]).
+
+    Column pair 2m of the dense Hᵀ holds A_mᵀ in the pose rows and B_mᵀ in
+    landmark slot_m's row pair; invalid slots contribute zero columns and a
+    zero innovation, making them exact no-ops in any downstream update."""
+    D = x.shape[0]
+    M = zs.shape[0]
+
+    zhat, A, B = _innovation_blocks(x, slots, params)
+    vmask = valid.astype(dt)
+    A = A * vmask[:, None, None]                               # [M,2,3]
+    B = B * vmask[:, None, None]                               # [M,2,2]
+
+    nu = zs[:, :2].astype(dt) - zhat
+    if not params.ref_compat:
+        nu = nu.at[:, 1].set(wrap_to_180(nu[:, 1]))
+    nu = (nu * vmask[:, None]).reshape(2 * M)
+
+    cols = 3 + 2 * slots                                       # i32[M]
+    midx = jnp.arange(M)
+    Ht = jnp.zeros((D, 2 * M), dt)
+    Ht = Ht.at[0:3, :].set(
+        A.transpose(2, 0, 1).reshape(3, 2 * M))                # pose rows
+    rowpair = cols[:, None] + jnp.arange(2)[None, :]           # [M,2]
+    colpair = 2 * midx[:, None] + jnp.arange(2)[None, :]       # [M,2]
+    Ht = Ht.at[rowpair[:, :, None], colpair[:, None, :]].add(
+        B.transpose(0, 2, 1))                                  # [M,2,2]
+    return Ht, nu
+
+
+def noise_block(Rs: jnp.ndarray, valid: jnp.ndarray, dt) -> jnp.ndarray:
+    """Block-diagonal R [2M,2M]; invalid slots get identity blocks so the
+    joint innovation system stays well-conditioned where H/nu are zero."""
+    M = Rs.shape[0]
+    Rblk = jnp.zeros((2 * M, 2 * M), dt)
+    ridx = jnp.arange(M)
+    Rblk = Rblk.at[2 * ridx, 2 * ridx].set(
+        jnp.where(valid, Rs[:, 0, 0].astype(dt), 1.0))
+    Rblk = Rblk.at[2 * ridx + 1, 2 * ridx + 1].set(
+        jnp.where(valid, Rs[:, 1, 1].astype(dt), 1.0))
+    Rblk = Rblk.at[2 * ridx, 2 * ridx + 1].set(
+        jnp.where(valid, Rs[:, 0, 1].astype(dt), 0.0))
+    Rblk = Rblk.at[2 * ridx + 1, 2 * ridx].set(
+        jnp.where(valid, Rs[:, 1, 0].astype(dt), 0.0))
+    return Rblk
+
+
 def update_batch(state: FilterState, zs: jnp.ndarray, slots: jnp.ndarray,
                  Rs: jnp.ndarray, valid: jnp.ndarray, params: EKFParams
                  ) -> FilterState:
@@ -56,45 +106,13 @@ def update_batch(state: FilterState, zs: jnp.ndarray, slots: jnp.ndarray,
     of strided P columns were the previous bottleneck.
     """
     x, P = state.x, state.P
-    D = x.shape[0]
-    M = zs.shape[0]
     dt = P.dtype
 
-    zhat, A, B = _innovation_blocks(x, slots, params)
-    vmask = valid.astype(dt)
-    A = A * vmask[:, None, None]                               # [M,2,3]
-    B = B * vmask[:, None, None]                               # [M,2,2]
-
-    nu = zs[:, :2].astype(dt) - zhat
-    if not params.ref_compat:
-        nu = nu.at[:, 1].set(wrap_to_180(nu[:, 1]))
-    nu = (nu * vmask[:, None]).reshape(2 * M)
-
-    # dense Ht [D, 2M]: column pair 2m holds A_mᵀ in the pose rows and
-    # B_mᵀ in landmark slot_m's row pair.
-    cols = 3 + 2 * slots                                       # i32[M]
-    midx = jnp.arange(M)
-    Ht = jnp.zeros((D, 2 * M), dt)
-    Ht = Ht.at[0:3, :].set(
-        A.transpose(2, 0, 1).reshape(3, 2 * M))                # pose rows
-    rowpair = cols[:, None] + jnp.arange(2)[None, :]           # [M,2]
-    colpair = 2 * midx[:, None] + jnp.arange(2)[None, :]       # [M,2]
-    Ht = Ht.at[rowpair[:, :, None], colpair[:, None, :]].add(
-        B.transpose(0, 2, 1))                                  # [M,2,2]
+    Ht, nu = innovation_operator(x, zs, slots, valid, params, dt)
 
     PHt = P @ Ht                                               # [D,2M] MXU
     S = Ht.T @ PHt                                             # [2M,2M] MXU
-    Rblk = jnp.zeros((2 * M, 2 * M), dt)
-    ridx = jnp.arange(M)
-    Rblk = Rblk.at[2 * ridx, 2 * ridx].set(
-        jnp.where(valid, Rs[:, 0, 0].astype(dt), 1.0))
-    Rblk = Rblk.at[2 * ridx + 1, 2 * ridx + 1].set(
-        jnp.where(valid, Rs[:, 1, 1].astype(dt), 1.0))
-    Rblk = Rblk.at[2 * ridx, 2 * ridx + 1].set(
-        jnp.where(valid, Rs[:, 0, 1].astype(dt), 0.0))
-    Rblk = Rblk.at[2 * ridx + 1, 2 * ridx].set(
-        jnp.where(valid, Rs[:, 1, 0].astype(dt), 0.0))
-    S = S + Rblk
+    S = S + noise_block(Rs, valid, dt)
 
     # S is symmetric PSD (H·P·Hᵀ + R with identity blocks in masked slots):
     # Cholesky solve beats LU on TPU for the [2M,2M] system.

@@ -123,12 +123,18 @@ def gate_costs(state, z: jnp.ndarray, R2: jnp.ndarray, params: EKFParams
 
 
 def gate_batch(state, zs: jnp.ndarray, Rs: jnp.ndarray, params: EKFParams,
-               use_pallas: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+               use_pallas: bool = False, strips=None
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Associate M measurements at once: (is_new [M], slot [M]).
 
     ``use_pallas``: evaluate the [M,K] cost matrix with the fused Pallas
     kernel (ops/pallas/gating.py — ML cost, wrapped innovation, symmetric-P
     assumption) instead of the XLA strip path.
+
+    ``strips``: optional precomputed (Prr [3,3], Prl [K,3,2], Pll [K,2,2])
+    in place of reading them from ``state.P`` — used by the square-root
+    filter (models/srekf.sr_strips), where P is stored as its Cholesky
+    factor and the strips come from the factor directly.
 
     The innovation covariance splits as Φ_mk = Φ_k + R_m: the P-dependent
     base Φ_k is assembled ONCE from P's pose strip and landmark-diagonal
@@ -182,10 +188,13 @@ def gate_batch(state, zs: jnp.ndarray, Rs: jnp.ndarray, params: EKFParams,
         jnp.stack([-dy, dx], axis=-1),
     ], axis=1) / q[:, None, None]
 
-    Prr = P[:3, :3]
-    end = 3 + 2 * K
-    Prl = P[:3, 3:end].reshape(3, K, 2).transpose(1, 0, 2)
-    Pll = _lm_diag_blocks(P, K)
+    if strips is None:
+        Prr = P[:3, :3]
+        end = 3 + 2 * K
+        Prl = P[:3, 3:end].reshape(3, K, 2).transpose(1, 0, 2)
+        Pll = _lm_diag_blocks(P, K)
+    else:
+        Prr, Prl, Pll = strips
 
     Phi0 = _phi_base(A, B, Prr, Prl, Pll)                        # [K,2,2]
 

@@ -102,6 +102,10 @@ class SlamSession:
     # -- construction -------------------------------------------------------
     def init_carry(self, first_odom=None) -> SessionCarry:
         filt = init_state(self.ekf_params)
+        if self.ekf_params.update_mode == "srekf":
+            # carry the Cholesky factor in the P field (models/srekf.py)
+            from .models.srekf import factor_from_state
+            filt = factor_from_state(filt)
         old = (jnp.zeros((3,), self.ekf_params.dtype)
                if first_odom is None
                else jnp.asarray(first_odom, self.ekf_params.dtype))
@@ -124,7 +128,11 @@ class SlamSession:
             u = jnp.stack([dD, dTh]).astype(ep.dtype)
 
             with jax.named_scope("ekf_predict"):
-                filt = ekf.predict(carry.filt, u, ep)      # SLAM.m:110
+                if ep.update_mode == "srekf":
+                    from .models.srekf import sr_predict
+                    filt = sr_predict(carry.filt, u, ep)
+                else:
+                    filt = ekf.predict(carry.filt, u, ep)  # SLAM.m:110
 
             key, sub = jax.random.split(carry.key)
             with jax.named_scope("ransac_extract"):
@@ -137,11 +145,15 @@ class SlamSession:
                 if ep.update_mode == "batched":
                     from .models.batched import measure_batched
                     filt = measure_batched(filt, obs, u, ep)
+                elif ep.update_mode == "srekf":
+                    from .models.srekf import sr_measure_batched
+                    filt = sr_measure_batched(filt, obs, u, ep)
                 else:
                     filt = ekf.measure(filt, obs, u, ep)   # SLAM.m:116
             if ep.guard_max_jump is not None:
                 from .utils.faults import guarded
-                filt, _ = guarded(pre_measure, filt, ep.guard_max_jump)
+                filt, _ = guarded(pre_measure, filt, ep.guard_max_jump,
+                                  factored=ep.update_mode == "srekf")
 
             out = StepOutput(pose=filt.x[:3],
                              n_active=filt.n_active,

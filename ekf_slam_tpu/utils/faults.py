@@ -73,14 +73,20 @@ class TickVerdict(NamedTuple):
 
 
 def check_tick(before: FilterState, after: FilterState,
-               max_pose_jump: float = 1.0) -> TickVerdict:
-    """Device-side sanity verdict for one tick's filter transition."""
+               max_pose_jump: float = 1.0,
+               factored: bool = False) -> TickVerdict:
+    """Device-side sanity verdict for one tick's filter transition.
+
+    ``factored``: the state's P field holds a Cholesky factor L
+    (models/srekf.py) — variances are then the row norms of L (always ≥ 0,
+    so the diag check reduces to finiteness of the row norms)."""
     finite = (jnp.all(jnp.isfinite(after.x))
               & jnp.all(jnp.isfinite(after.P)))
     D = after.dim
     idx = jnp.arange(D)
     active_dim = 3 + 2 * after.n_active
-    diag = jnp.diagonal(after.P)
+    diag = (jnp.sum(after.P * after.P, axis=1) if factored
+            else jnp.diagonal(after.P))
     diag_ok = jnp.all(jnp.where(idx < active_dim, diag > -1e-6, True))
     jump = jnp.linalg.norm(after.x[:2] - before.x[:2])
     jump_ok = jump <= max_pose_jump
@@ -89,10 +95,11 @@ def check_tick(before: FilterState, after: FilterState,
 
 
 def guarded(before: FilterState, after: FilterState,
-            max_pose_jump: float = 1.0) -> Tuple[FilterState, TickVerdict]:
+            max_pose_jump: float = 1.0, factored: bool = False
+            ) -> Tuple[FilterState, TickVerdict]:
     """Accept ``after`` only if the tick verdict passes; otherwise roll the
     filter back to ``before`` (the tick is treated as lost input)."""
-    v = check_tick(before, after, max_pose_jump)
+    v = check_tick(before, after, max_pose_jump, factored=factored)
     out = jax.tree_util.tree_map(
         lambda a, b: jnp.where(v.ok, a, b), after, before)
     return out, v

@@ -13,6 +13,7 @@ timers, counters, or logs.  This module provides:
 from __future__ import annotations
 
 import json
+import os
 import time
 from typing import IO, NamedTuple, Optional
 
@@ -55,6 +56,10 @@ class MetricsLogger:
     """Append-only JSONL metrics stream (host side)."""
 
     def __init__(self, path: Optional[str] = None, stream: Optional[IO] = None):
+        if stream is None and path:
+            d = os.path.dirname(path)
+            if d:
+                os.makedirs(d, exist_ok=True)
         self._fh = stream if stream is not None else (
             open(path, "a") if path else None)
         self._t0 = time.perf_counter()
