@@ -18,7 +18,9 @@ host; the oracle performs the reference's dense per-landmark-loop algebra
 >=10x per chip).
 
 Prints ONE JSON line to stdout; details go to stderr.
-Env: BENCH_K (default 1000), BENCH_BATCH (default 512), BENCH_FRAMES=1.
+Env: BENCH_K (default 1000), BENCH_BATCH (default 512), BENCH_FRAMES=1,
+BENCH_COV_DTYPE=bf16 (bf16 covariance storage, f32 compute — halves the
+P-streaming HBM bytes that bound throughput at 10k landmarks).
 """
 from __future__ import annotations
 
@@ -39,6 +41,8 @@ from ekf_slam_tpu.state import FilterState, init_state
 
 K = int(os.environ.get("BENCH_K", "1000"))
 BATCH = int(os.environ.get("BENCH_BATCH", "512"))
+COV_DTYPE = (jnp.bfloat16 if os.environ.get("BENCH_COV_DTYPE") == "bf16"
+             else None)
 N_SEQ = 64        # sequential updates per timed run
 # batched runs per timed run: amortizes the ~5 ms dispatch at small K;
 # at 10k landmarks each batch is ~14 ms (dispatch negligible) and the
@@ -64,7 +68,7 @@ def make_full_state(params: EKFParams, seed=0) -> FilterState:
         A = jax.random.normal(key, (D, 8), params.dtype) / jnp.sqrt(
             jnp.asarray(D, params.dtype))
         return (0.05 * jnp.eye(D, dtype=params.dtype)
-                + 0.02 * (A @ A.T))
+                + 0.02 * (A @ A.T)).astype(params.cov_dt)
 
     return FilterState(
         x=jnp.asarray(x, params.dtype),
@@ -205,7 +209,8 @@ def frames_per_sec() -> float:
 
 def main():
     params = EKFParams(capacity=K, association="ml", s_cost=1e6,
-                       s_thresh=1e12, ref_compat=False, dtype=jnp.float32)
+                       s_thresh=1e12, ref_compat=False, dtype=jnp.float32,
+                       cov_dtype=COV_DTYPE)
     plat = jax.devices()[0].platform
     if os.environ.get("BENCH_FRAMES") == "1":
         fps = frames_per_sec()

@@ -89,6 +89,19 @@ class EKFParams:
     symmetrize: bool = False
 
     dtype: Any = jnp.float32
+    #: storage dtype for the covariance P ONLY (None → same as ``dtype``).
+    #: ``jnp.bfloat16`` halves the HBM traffic of the P-streaming passes —
+    #: the bandwidth wall at 10k+ landmarks — while all contractions
+    #: accumulate in f32 on the MXU and the mean/solves stay in ``dtype``
+    #: (mixed precision, models/batched.py).  Supported by the batched
+    #: update path + gate; the sequential bit-parity path and srekf keep
+    #: full-precision storage.
+    cov_dtype: Any = None
+
+    @property
+    def cov_dt(self):
+        """Effective covariance storage dtype."""
+        return self.dtype if self.cov_dtype is None else self.cov_dtype
 
     @property
     def dim(self) -> int:

@@ -106,13 +106,28 @@ def update_batch(state: FilterState, zs: jnp.ndarray, slots: jnp.ndarray,
     of strided P columns were the previous bottleneck.
     """
     x, P = state.x, state.P
-    dt = P.dtype
+    # Mixed precision (params.cov_dtype=bf16): P is stored bf16 — halving
+    # the HBM bytes of the P-streaming passes — and the two O(D²·M) GEMMs
+    # run with bf16 operands + f32 accumulation (preferred_element_type),
+    # the MXU's native fast path.  bf16 GEMM inputs cost nothing beyond
+    # what bf16 *storage* already quantized.  Everything small (S, the
+    # Cholesky solve, the mean, Kg·S) stays f32.
+    ct = x.dtype
+    fast16 = P.dtype == jnp.bfloat16
 
-    Ht, nu = innovation_operator(x, zs, slots, valid, params, dt)
+    def mm(a, b):
+        """Large GEMM in the storage precision, accumulated in ct."""
+        if fast16:
+            return jnp.matmul(a.astype(jnp.bfloat16),
+                              b.astype(jnp.bfloat16),
+                              preferred_element_type=ct)
+        return a @ b
 
-    PHt = P @ Ht                                               # [D,2M] MXU
+    Ht, nu = innovation_operator(x, zs, slots, valid, params, ct)
+
+    PHt = mm(P, Ht)                                            # [D,2M] MXU
     S = Ht.T @ PHt                                             # [2M,2M] MXU
-    S = S + noise_block(Rs, valid, dt)
+    S = S + noise_block(Rs, valid, ct)
 
     # S is symmetric PSD (H·P·Hᵀ + R with identity blocks in masked slots):
     # Cholesky solve beats LU on TPU for the [2M,2M] system.
@@ -121,10 +136,10 @@ def update_batch(state: FilterState, zs: jnp.ndarray, slots: jnp.ndarray,
 
     x = x + Kg @ nu
     if params.joseph:
-        KB = Kg @ PHt.T
-        P = P - KB - KB.T + Kg @ S @ Kg.T
+        KB = mm(Kg, PHt.T)
+        P = (P - KB - KB.T + mm(Kg @ S, Kg.T)).astype(P.dtype)
     else:
-        P = P - Kg @ PHt.T
+        P = (P - mm(Kg, PHt.T)).astype(P.dtype)
     if params.symmetrize:
         P = 0.5 * (P + P.T)
     return state._replace(x=x, P=P)

@@ -81,11 +81,15 @@ def predict(state: FilterState, u: jnp.ndarray, params: EKFParams
     x = x.at[:3].set(new_pose.astype(x.dtype))
 
     # F·P: rows 0,1 pick up f·(row 2).  Then (F·P)·Fᵀ: cols 0,1 pick up
-    # f·(col 2 of F·P).  Finally add Q on the pose block.
+    # f·(col 2 of F·P).  Finally add Q on the pose block.  Multiplies run
+    # in the state dtype; results cast to P's storage dtype (bf16 storage
+    # under params.cov_dtype keeps compute full-precision).
     row2 = P[2]
-    P = P.at[0].add(f13 * row2).at[1].add(f23 * row2)
+    P = (P.at[0].add((f13 * row2).astype(P.dtype))
+          .at[1].add((f23 * row2).astype(P.dtype)))
     col2 = P[:, 2]
-    P = P.at[:, 0].add(f13 * col2).at[:, 1].add(f23 * col2)
+    P = (P.at[:, 0].add((f13 * col2).astype(P.dtype))
+          .at[:, 1].add((f23 * col2).astype(P.dtype)))
     P = P.at[:3, :3].add(Qb.astype(P.dtype))
 
     return state._replace(x=x, P=P)
@@ -111,17 +115,19 @@ def append(state: FilterState, u: jnp.ndarray, R2: jnp.ndarray,
 
     def do_append(s: FilterState) -> FilterState:
         x, P = s.x, s.P
+        ct = x.dtype                       # compute dtype (f32 under bf16 P)
         th = x[2]
         dD, dTh = u[0], u[1]
-        jxr = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], P.dtype)
+        jxr = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], ct)
         jxr = jxr.at[0, 2].set(-dD * sind(th)).at[1, 2].set(dD * cosd(th))
         jz = jnp.stack([
             jnp.stack([cosd(dTh), -dD * sind(dTh)]),
             jnp.stack([sind(dTh), dD * cosd(dTh)]),
-        ]).astype(P.dtype)
+        ]).astype(ct)
 
-        cross = jxr @ P[:3, :]                                   # [2, D]
-        diag = jxr @ P[:3, :3] @ jxr.T + jz @ R2.astype(P.dtype) @ jz.T
+        cross = (jxr @ P[:3, :].astype(ct)).astype(P.dtype)      # [2, D]
+        diag = (jxr @ P[:3, :3].astype(ct) @ jxr.T
+                + jz @ R2.astype(ct) @ jz.T).astype(P.dtype)
 
         slot = s.n_active
         row = jnp.asarray(3 + 2 * slot, jnp.int32)
@@ -201,10 +207,10 @@ def update(state: FilterState, z: jnp.ndarray, slot, R2: jnp.ndarray,
 
     rows5 = jnp.concatenate(
         [PHt[:3], lax.dynamic_slice(PHt, (col, zero), (2, 2))], axis=0)  # [5,2]
-    S = Hs @ rows5 + R2.astype(P.dtype)                       # [2,2]
+    S = Hs @ rows5 + R2.astype(x.dtype)                       # [2,2]
     Kg = PHt @ _inv2(S)                                       # [D,2]
 
-    nu = z[:2].astype(P.dtype) - zhat
+    nu = z[:2].astype(x.dtype) - zhat
     if not params.ref_compat:
         # the reference never re-wraps the bearing innovation
         # (EKF_SLAM_UC.m:145) — correct mode does.
@@ -214,12 +220,13 @@ def update(state: FilterState, z: jnp.ndarray, slot, R2: jnp.ndarray,
 
     HP = Hs @ jnp.concatenate(
         [P[:3], lax.dynamic_slice(P, (col, zero), (2, D))], axis=0)  # [2,D]
+    sdt = P.dtype                  # storage dtype (bf16 under cov_dtype)
     if params.joseph:
         # P' = P − K·B − (K·B)ᵀ + K·Φ·Kᵀ  (Joseph form, PSD-preserving)
         KB = Kg @ HP
-        P = P - KB - KB.T + Kg @ S @ Kg.T
+        P = (P - KB - KB.T + Kg @ S @ Kg.T).astype(sdt)
     else:
-        P = P - Kg @ HP
+        P = (P - Kg @ HP).astype(sdt)
     if params.symmetrize:
         P = 0.5 * (P + P.T)
     return state._replace(x=x, P=P)

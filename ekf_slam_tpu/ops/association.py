@@ -107,7 +107,7 @@ def gate_costs(state, z: jnp.ndarray, R2: jnp.ndarray, params: EKFParams
     Prl = P[:3, 3:end].reshape(3, K, 2).transpose(1, 0, 2)     # [K,3,2]
     Pll = _lm_diag_blocks(P, K)                                # [K,2,2]
 
-    Phi = _phi_base(A, B, Prr, Prl, Pll) + R2[None].astype(P.dtype)
+    Phi = _phi_base(A, B, Prr, Prl, Pll) + R2[None].astype(x.dtype)
 
     # batched 2x2 solve: position_cost = nu' Phi^-1 nu  (Correspondence.m:69)
     det = (Phi[:, 0, 0] * Phi[:, 1, 1] - Phi[:, 0, 1] * Phi[:, 1, 0])
@@ -117,7 +117,7 @@ def gate_costs(state, z: jnp.ndarray, R2: jnp.ndarray, params: EKFParams
     position_cost = (n0 * (inv00 * n0 + inv01 * n1)
                      + n1 * (inv10 * n0 + inv11 * n1))
 
-    sc = jnp.asarray(params.s_cost, P.dtype)
+    sc = jnp.asarray(params.s_cost, x.dtype)
     signature_cost = (z[2] - state.sig) ** 2 / sc              # Corresp.m:71
     return position_cost, signature_cost
 
@@ -198,14 +198,14 @@ def gate_batch(state, zs: jnp.ndarray, Rs: jnp.ndarray, params: EKFParams,
 
     Phi0 = _phi_base(A, B, Prr, Prl, Pll)                        # [K,2,2]
 
-    Phi = Phi0[None] + Rs[:, None].astype(P.dtype)               # [M,K,2,2]
+    Phi = Phi0[None] + Rs[:, None].astype(x.dtype)               # [M,K,2,2]
     det = Phi[..., 0, 0] * Phi[..., 1, 1] - Phi[..., 0, 1] * Phi[..., 1, 0]
     n0, n1 = nu[..., 0], nu[..., 1]
     position_cost = (n0 * (Phi[..., 1, 1] * n0 - Phi[..., 0, 1] * n1)
                      + n1 * (-Phi[..., 1, 0] * n0
                              + Phi[..., 0, 0] * n1)) / det       # [M,K]
 
-    sc = jnp.asarray(params.s_cost, P.dtype)
+    sc = jnp.asarray(params.s_cost, x.dtype)
     signature_cost = (zs[:, 2:3] - state.sig[None, :]) ** 2 / sc  # [M,K]
 
     if params.association == ASSOC_ML:

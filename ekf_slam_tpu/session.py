@@ -49,6 +49,10 @@ class SessionCarry(NamedTuple):
     table: LandmarkTable
     old_odom: jnp.ndarray   # f[3] previous odometry pose (SLAM.m:100-113)
     key: jnp.ndarray        # PRNG key for the extractor's sampling
+    # previous scan in the robot frame — only carried when
+    # control_source='icp' (scan-to-scan odometry); None otherwise.
+    prev_pts: Optional[jnp.ndarray] = None     # f[B,2]
+    prev_valid: Optional[jnp.ndarray] = None   # bool[B]
 
 
 class StepOutput(NamedTuple):
@@ -73,6 +77,14 @@ class SlamSession:
     ekf_params: Optional[EKFParams] = None
     ransac_params: Optional[RansacParams] = None
     seed: int = 0
+    #: where the control u=[ΔD,Δθ] comes from: 'odometry' dead-reckons
+    #: consecutive odometry poses (SLAM.m:105-107); 'icp' estimates the
+    #: relative transform by scan-to-scan ICP (ops/icp.py) — for platforms
+    #: without wheel odometry (no reference analog; the reference requires
+    #: /odom).  In icp mode the odom_pose argument is ignored.
+    control_source: str = "odometry"
+    icp_iters: int = 15
+    icp_max_pair_dist: float = 0.5
 
     def __post_init__(self):
         if self.algorithm not in ALGORITHMS:
@@ -83,6 +95,10 @@ class SlamSession:
             raise ValueError(
                 f"unknown extractor {self.extractor!r}; "
                 f"choose from {sorted(EXTRACTORS)}")
+        if self.control_source not in ("odometry", "icp"):
+            raise ValueError(
+                f"unknown control_source {self.control_source!r}; "
+                f"choose from ['icp', 'odometry']")
         if self.ekf_params is None:
             self.ekf_params = ALGORITHMS[self.algorithm]()
         if self.ransac_params is None:
@@ -100,7 +116,8 @@ class SlamSession:
         self._run = jax.jit(scan_all)
 
     # -- construction -------------------------------------------------------
-    def init_carry(self, first_odom=None) -> SessionCarry:
+    def init_carry(self, first_odom=None, n_beams: Optional[int] = None
+                   ) -> SessionCarry:
         filt = init_state(self.ekf_params)
         if self.ekf_params.update_mode == "srekf":
             # carry the Cholesky factor in the P field (models/srekf.py)
@@ -109,11 +126,22 @@ class SlamSession:
         old = (jnp.zeros((3,), self.ekf_params.dtype)
                if first_odom is None
                else jnp.asarray(first_odom, self.ekf_params.dtype))
+        prev_pts = prev_valid = None
+        if self.control_source == "icp":
+            if n_beams is None:
+                raise ValueError(
+                    "control_source='icp' needs n_beams at init_carry "
+                    "(the previous scan is part of the carry)")
+            # empty previous scan → first tick's ICP finds no pairs → u=0
+            prev_pts = jnp.zeros((n_beams, 2), self.ekf_params.dtype)
+            prev_valid = jnp.zeros((n_beams,), bool)
         return SessionCarry(
             filt=filt,
             table=self._init_table(self.ransac_params),
             old_odom=old,
             key=jax.random.PRNGKey(self.seed),
+            prev_pts=prev_pts,
+            prev_valid=prev_valid,
         )
 
     def _make_step(self):
@@ -121,10 +149,28 @@ class SlamSession:
 
         def step(carry: SessionCarry, odom_pose, ranges, beam_angles
                  ) -> Tuple[SessionCarry, StepOutput]:
-            # control from consecutive odometry poses (SLAM.m:105-107)
-            dD = jnp.sqrt((odom_pose[0] - carry.old_odom[0]) ** 2
-                          + (odom_pose[1] - carry.old_odom[1]) ** 2)
-            dTh = angdiff_deg(carry.old_odom[2], odom_pose[2])
+            scan = scan_from_ranges(ranges, beam_angles)
+            prev_pts = prev_valid = None
+            if self.control_source == "icp":
+                # scan-to-scan odometry: align this scan onto the previous
+                # one (robot frame) — the transform IS the robot's motion
+                # (ops/icp.py).  ΔD stays unsigned, matching the
+                # dead-reckoned hypot at SLAM.m:105.
+                from .ops.icp import icp
+                from .ops.scan import to_cartesian
+                pts = to_cartesian(scan).astype(ep.dtype)
+                with jax.named_scope("icp_control"):
+                    res = icp(pts, scan.valid, carry.prev_pts,
+                              carry.prev_valid, iters=self.icp_iters,
+                              max_pair_dist=self.icp_max_pair_dist)
+                dD = jnp.linalg.norm(res.pose[:2])
+                dTh = res.pose[2]
+                prev_pts, prev_valid = pts, scan.valid
+            else:
+                # control from consecutive odometry poses (SLAM.m:105-107)
+                dD = jnp.sqrt((odom_pose[0] - carry.old_odom[0]) ** 2
+                              + (odom_pose[1] - carry.old_odom[1]) ** 2)
+                dTh = angdiff_deg(carry.old_odom[2], odom_pose[2])
             u = jnp.stack([dD, dTh]).astype(ep.dtype)
 
             with jax.named_scope("ekf_predict"):
@@ -136,7 +182,6 @@ class SlamSession:
 
             key, sub = jax.random.split(carry.key)
             with jax.named_scope("ransac_extract"):
-                scan = scan_from_ranges(ranges, beam_angles)
                 obs, table = self._extract(carry.table, scan, filt.x,
                                            filt.n_active, sub, rp,
                                            ep.max_obs)
@@ -160,7 +205,7 @@ class SlamSession:
                              n_obs=jnp.sum(obs.valid).astype(jnp.int32),
                              u=u, obs=obs)
             return SessionCarry(filt, table, odom_pose.astype(ep.dtype),
-                                key), out
+                                key, prev_pts, prev_valid), out
 
         return step
 
@@ -180,6 +225,9 @@ class SlamSession:
         Returns the final carry and stacked per-tick outputs.
         """
         if carry is None:
-            carry = self.init_carry(first_odom=odom_poses[0])
+            carry = self.init_carry(
+                first_odom=odom_poses[0],
+                n_beams=(jnp.asarray(ranges).shape[1]
+                         if self.control_source == "icp" else None))
         return self._run(carry, jnp.asarray(odom_poses),
                          jnp.asarray(ranges), jnp.asarray(beam_angles))

@@ -73,9 +73,10 @@ def init_state(params: EKFParams, pad_to_multiple_of: int = 1) -> FilterState:
     D, K = params.dim, params.capacity
     D = round_up(D, pad_to_multiple_of)
     dt = params.dtype
+    cdt = params.cov_dt
     x = jnp.zeros((D,), dt)
-    P = jnp.zeros((D, D), dt).at[jnp.arange(3), jnp.arange(3)].set(
-        jnp.asarray(params.p0_diag, dt))
+    P = jnp.zeros((D, D), cdt).at[jnp.arange(3), jnp.arange(3)].set(
+        jnp.asarray(params.p0_diag, cdt))
     return FilterState(
         x=x,
         P=P,

@@ -58,3 +58,46 @@ def test_icp_jits():
     res = f(src, dst)
     np.testing.assert_allclose(np.asarray(res.pose), [0.1, 0.0, 0.0],
                                atol=1e-3)
+
+
+def test_session_icp_control_source():
+    """Scan-to-scan ICP as the control source: no odometry at all (zeros
+    passed), the session still tracks the trajectory (the reference cannot
+    run without /odom; this is the odometry-free mode, session.py)."""
+    import jax.numpy as jnp
+    from ekf_slam_tpu.config import EKFParams
+    from ekf_slam_tpu.session import SlamSession
+    from ekf_slam_tpu.sim import world as W
+    from test_sim_session import SIM_RANSAC, make_traj
+
+    traj, _ = make_traj(T=100)
+    sess = SlamSession(
+        algorithm="EKF_SLAM_UC",
+        ekf_params=EKFParams(capacity=16, max_obs=8, ref_compat=False,
+                             update_mode="batched", dtype=jnp.float64),
+        ransac_params=SIM_RANSAC, seed=1,
+        control_source="icp", icp_iters=15, icp_max_pair_dist=0.5)
+    garbage_odom = jnp.zeros_like(jnp.asarray(traj.odom))
+    carry, outs = sess.run(garbage_odom, traj.ranges, traj.beam_angles)
+    assert int(carry.filt.n_active) >= 1
+    ate = float(W.ate_rmse(outs.pose[:, :2], traj.truth[:, :2]))
+    assert ate < 0.5, ate
+    # the carried previous scan is part of the pytree (checkpointable)
+    assert carry.prev_pts is not None and carry.prev_valid is not None
+
+
+def test_session_icp_requires_beams_at_init():
+    from ekf_slam_tpu.config import EKFParams
+    from ekf_slam_tpu.session import SlamSession
+    import pytest
+    sess = SlamSession(control_source="icp",
+                       ekf_params=EKFParams(capacity=8))
+    with pytest.raises(ValueError, match="n_beams"):
+        sess.init_carry()
+
+
+def test_session_bad_control_source():
+    from ekf_slam_tpu.session import SlamSession
+    import pytest
+    with pytest.raises(ValueError, match="control_source"):
+        SlamSession(control_source="teleport")
