@@ -41,6 +41,9 @@ from ekf_slam_tpu.state import FilterState, init_state
 
 K = int(os.environ.get("BENCH_K", "1000"))
 BATCH = int(os.environ.get("BENCH_BATCH", "512"))
+# sequential update chunks per batch (gate once, update in G chunks): the
+# (2M)^3 innovation solve dominates at small D, where chunking wins.
+CHUNKS = int(os.environ.get("BENCH_CHUNKS", "1"))
 COV_DTYPE = (jnp.bfloat16 if os.environ.get("BENCH_COV_DTYPE") == "bf16"
              else None)
 N_SEQ = 64        # sequential updates per timed run
@@ -130,7 +133,8 @@ def batched_updates_per_sec(params: EKFParams) -> float:
             jnp.stack([z[0] * rc0, z[1] * rc1])))(zs).astype(params.dtype)
         is_new, slots = gate_batch(st, zs, Rs, params)
         valid = ~is_new
-        return batched.update_batch(st, zs, slots, Rs, valid, params), None
+        return batched.update_chunked(st, zs, slots, Rs, valid,
+                                      params), None
 
     run = jax.jit(lambda st, zb: jax.lax.scan(one_batch, st, zb)[0])
     return (N_BATCHES * BATCH) / _time(run, state, zs_all)
@@ -210,7 +214,7 @@ def frames_per_sec() -> float:
 def main():
     params = EKFParams(capacity=K, association="ml", s_cost=1e6,
                        s_thresh=1e12, ref_compat=False, dtype=jnp.float32,
-                       cov_dtype=COV_DTYPE)
+                       cov_dtype=COV_DTYPE, update_chunks=CHUNKS)
     plat = jax.devices()[0].platform
     if os.environ.get("BENCH_FRAMES") == "1":
         fps = frames_per_sec()

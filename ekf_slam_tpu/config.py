@@ -67,6 +67,14 @@ class EKFParams:
     #: conditioning option for f32 at large capacity / tiny R).
     update_mode: str = "sequential"
 
+    #: batched-mode scheduling: apply the tick's joint update in this many
+    #: sequential chunks of M/update_chunks observations each (gating still
+    #: happens once against the tick's prior state).  The innovation solve
+    #: costs O((2M)^3) while the P passes cost O(D^2) — when D is small the
+    #: solve dominates and chunking trades cheap extra P passes for a
+    #: quadratically cheaper per-update solve.  1 = single joint update.
+    update_chunks: int = 1
+
     #: failure detection (utils/faults.py): if set, a tick whose measurement
     #: phase moves the pose more than this many meters — or produces
     #: non-finite state / negative covariance — is rolled back and treated

@@ -35,9 +35,13 @@ def _round_up(n, m):
 def _gate_kernel(pose_ref, prr_ref, zs_ref, rdiag_ref, lm_ref, zphi_ref,
                  sig_ref, act_ref, prl_ref, pll_ref, scost_ref, out_ref, *,
                  wrap_innovation: bool):
-    # landmark tile data, transposed layout [rows, TK] (lane dim = TK)
-    lx = lm_ref[0, :]
-    ly = lm_ref[1, :]
+    # landmark tile data, transposed layout [rows, TK] (lane dim = TK);
+    # strips kept 2-D [1, TK] so every op below is a well-shaped
+    # (sublane, lane) VPU tile — the measurement axis broadcasts as
+    # sublanes ([TM, 1] against [1, TK]), vectorizing the whole M×K block
+    # in one shot instead of a per-measurement scalar loop.
+    lx = lm_ref[0:1, :]
+    ly = lm_ref[1:2, :]
     xr = pose_ref[0, 0]
     yr = pose_ref[0, 1]
 
@@ -65,6 +69,12 @@ def _gate_kernel(pose_ref, prr_ref, zs_ref, rdiag_ref, lm_ref, zphi_ref,
     prl = prl_ref[:]                                       # [6,TK]
     pll = pll_ref[:]                                       # [4,TK]
 
+    def prl_row(i):
+        return prl[i:i + 1, :]
+
+    def pll_row(i):
+        return pll[i:i + 1, :]
+
     # Phi0 = A Prr A^T + A Prl B^T + B Prl^T A^T + B Pll B^T, unrolled.
     def arow(i, j):  # A[i,:] . Prr . A[j,:]
         ai = (a00, a01, jnp.zeros_like(q)) if i == 0 else (a10, a11,
@@ -86,47 +96,46 @@ def _gate_kernel(pose_ref, prr_ref, zs_ref, rdiag_ref, lm_ref, zphi_ref,
         s = 0.0
         for pp in range(3):
             for qq in range(2):
-                s = s + Ai[pp] * prl[2 * pp + qq, :] * Bj[qq]
+                s = s + Ai[pp] * prl_row(2 * pp + qq) * Bj[qq]
         return s
 
     def bpllb(Bi, Bj):   # B[i,:] . Pll_k . B[j,:]
-        return (Bi[0] * (pll[0, :] * Bj[0] + pll[1, :] * Bj[1])
-                + Bi[1] * (pll[2, :] * Bj[0] + pll[3, :] * Bj[1]))
+        return (Bi[0] * (pll_row(0) * Bj[0] + pll_row(1) * Bj[1])
+                + Bi[1] * (pll_row(2) * Bj[0] + pll_row(3) * Bj[1]))
 
-    phi00 = arow(0, 0) + 2.0 * aprlb(A0, B0) + bpllb(B0, B0)
+    phi00 = arow(0, 0) + 2.0 * aprlb(A0, B0) + bpllb(B0, B0)    # [1,TK]
     phi11 = arow(1, 1) + 2.0 * aprlb(A1, B1) + bpllb(B1, B1)
     phi01 = arow(0, 1) + aprlb(A0, B1) + aprlb(A1, B0) + bpllb(B0, B1)
 
     # predicted measurement: range in-kernel; bearing precomputed in XLA
     # (Mosaic has no atan2 lowering — the O(K) trig strip rides in)
-    zr = sq
-    zphi = zphi_ref[0, :]
+    zr = sq                                                 # [1,TK]
+    zphi = zphi_ref[0:1, :]
 
-    act = act_ref[0, :] > 0.0
-    sig = sig_ref[0, :]
+    act = act_ref[0:1, :] > 0.0
+    sig = sig_ref[0:1, :]
     inv_scost = scost_ref[0, 0]
 
-    M = zs_ref.shape[0]
-    for m in range(M):
-        zr_m = zs_ref[m, 0]
-        zphi_m = zs_ref[m, 1]
-        zsig_m = zs_ref[m, 2]
-        r0 = rdiag_ref[m, 0]
-        r1 = rdiag_ref[m, 1]
+    # whole [TM, TK] block at once: measurement scalars enter as [TM, 1]
+    # columns and broadcast against the [1, TK] landmark strips.
+    zr_m = zs_ref[:, 0:1]
+    zphi_m = zs_ref[:, 1:2]
+    zsig_m = zs_ref[:, 2:3]
+    r0 = rdiag_ref[:, 0:1]
+    r1 = rdiag_ref[:, 1:2]
 
-        n0 = zr_m - zr
-        n1 = zphi_m - zphi
-        if wrap_innovation:
-            n1 = n1 - jnp.floor((n1 + 180.0) / 360.0) * 360.0
+    n0 = zr_m - zr                                          # [TM,TK]
+    n1 = zphi_m - zphi
+    if wrap_innovation:
+        n1 = n1 - jnp.floor((n1 + 180.0) / 360.0) * 360.0
 
-        s00 = phi00 + r0
-        s11 = phi11 + r1
-        det = s00 * s11 - phi01 * phi01
-        pos = (n0 * (s11 * n0 - phi01 * n1)
-               + n1 * (-phi01 * n0 + s00 * n1)) / det
-        sigc = (zsig_m - sig) * (zsig_m - sig) * inv_scost
-        cost = pos + sigc
-        out_ref[m, :] = jnp.where(act, cost, jnp.inf)
+    s00 = phi00 + r0
+    s11 = phi11 + r1
+    det = s00 * s11 - phi01 * phi01
+    pos = (n0 * (s11 * n0 - phi01 * n1)
+           + n1 * (-phi01 * n0 + s00 * n1)) / det
+    sigc = (zsig_m - sig) * (zsig_m - sig) * inv_scost
+    out_ref[:, :] = jnp.where(act, pos + sigc, jnp.inf)
 
 
 @functools.partial(jax.jit,
@@ -141,6 +150,10 @@ def gate_costs_pallas(pose, prr, zs, rdiag, lm, sig, active, prl, pll,
     dt = lm.dtype
     TK = 512 if K >= 512 else _round_up(K, 128)
     Kp = _round_up(K, TK)
+    # measurement-axis tile: whole batch when small, 256-row tiles beyond
+    # (keeps the [TM,TK] live intermediates a few MB inside ~16 MB VMEM).
+    TM = 256 if M > 256 else _round_up(M, 8)
+    Mp = _round_up(M, TM)
 
     def padT(a, fill=0.0):
         """[K, r] -> padded transpose [r, Kp] (lane dim = landmarks)."""
@@ -164,42 +177,45 @@ def gate_costs_pallas(pose, prr, zs, rdiag, lm, sig, active, prl, pll,
                        - pose[2].astype(dt))
     zphi_p = padT(zphi)                    # [1, Kp]
 
+    zs_p = jnp.zeros((Mp, 3), dt).at[:M].set(zs.astype(dt))
+    rdiag_p = jnp.ones((Mp, 2), dt).at[:M].set(rdiag.astype(dt))
+
     kernel = functools.partial(_gate_kernel,
                                wrap_innovation=wrap_innovation)
     out = pl.pallas_call(
         kernel,
-        grid=(Kp // TK,),
+        grid=(Mp // TM, Kp // TK),
         in_specs=[
-            pl.BlockSpec((1, 3), lambda k: (0, 0),
+            pl.BlockSpec((1, 3), lambda m, k: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, 3), lambda k: (0, 0),
+            pl.BlockSpec((3, 3), lambda m, k: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, 3), lambda k: (0, 0),
+            pl.BlockSpec((TM, 3), lambda m, k: (m, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, 2), lambda k: (0, 0),
+            pl.BlockSpec((TM, 2), lambda m, k: (m, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, TK), lambda k: (0, k),
+            pl.BlockSpec((2, TK), lambda m, k: (0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TK), lambda k: (0, k),
+            pl.BlockSpec((1, TK), lambda m, k: (0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TK), lambda k: (0, k),
+            pl.BlockSpec((1, TK), lambda m, k: (0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TK), lambda k: (0, k),
+            pl.BlockSpec((1, TK), lambda m, k: (0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, TK), lambda k: (0, k),
+            pl.BlockSpec((6, TK), lambda m, k: (0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, TK), lambda k: (0, k),
+            pl.BlockSpec((4, TK), lambda m, k: (0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda k: (0, 0),
+            pl.BlockSpec((1, 1), lambda m, k: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((M, TK), lambda k: (0, k),
+        out_specs=pl.BlockSpec((TM, TK), lambda m, k: (m, k),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, Kp), dt),
+        out_shape=jax.ShapeDtypeStruct((Mp, Kp), dt),
         interpret=interpret,
-    )(pose_p, prr.astype(dt), zs.astype(dt), rdiag.astype(dt), lm_p,
+    )(pose_p, prr.astype(dt), zs_p, rdiag_p, lm_p,
       zphi_p, sig_p, act_p, prl_p, pll_p, scost)
-    return out[:, :K]
+    return out[:M, :K]
 
 
 def strips_from_state(state):

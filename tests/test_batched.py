@@ -131,6 +131,45 @@ def test_measure_batched_jits_fixed_shape():
     assert int(out.n_active) == 2
 
 
+def test_update_chunked_matches_manual_chunks():
+    """update_chunks=G equals applying update_batch to each chunk in
+    sequence (the gate/linearization semantics are pinned by construction;
+    this pins the plumbing and the M%G fallback)."""
+    state, _ = make_pair(4, seed=7)
+    rng = np.random.default_rng(3)
+    zs, Rs = [], []
+    for slot in [0, 1, 2, 3]:
+        z = measurement_of(state, slot, noise=0.01, rng=rng)
+        zs.append(z)
+        Rs.append(np.diag([abs(z[0]) * 0.1, abs(z[1]) * 5.0]))
+    zs_j = jnp.asarray(np.stack(zs))
+    Rs_j = jnp.asarray(np.stack(Rs))
+    slots = jnp.asarray([0, 1, 2, 3])
+    valid = jnp.ones((4,), bool)
+    p2 = EKFParams(capacity=8, max_obs=4, ref_compat=False,
+                   dtype=jnp.float64, update_chunks=2)
+    got = batched.update_chunked(state, zs_j, slots, Rs_j, valid, p2)
+    want = batched.update_batch(state, zs_j[:2], slots[:2], Rs_j[:2],
+                                valid[:2], PARAMS)
+    want = batched.update_batch(want, zs_j[2:], slots[2:], Rs_j[2:],
+                                valid[2:], PARAMS)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(want.x),
+                               rtol=1e-12, atol=0)
+    np.testing.assert_allclose(np.asarray(got.P), np.asarray(want.P),
+                               rtol=1e-12, atol=0)
+    # non-divisible G falls back to the single joint update
+    p3 = dataclasses_replace(p2, update_chunks=3)
+    fb = batched.update_chunked(state, zs_j, slots, Rs_j, valid, p3)
+    ref = batched.update_batch(state, zs_j, slots, Rs_j, valid, PARAMS)
+    np.testing.assert_allclose(np.asarray(fb.P), np.asarray(ref.P),
+                               rtol=1e-12, atol=0)
+
+
+def dataclasses_replace(p, **kw):
+    import dataclasses
+    return dataclasses.replace(p, **kw)
+
+
 def test_gate_batch_matches_scalar_gate():
     from ekf_slam_tpu.ops.association import gate, gate_batch
     state, _ = make_pair(4, seed=9)
