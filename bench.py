@@ -40,17 +40,24 @@ from ekf_slam_tpu.oracle.np_ekf import NumpyEKFSLAM
 from ekf_slam_tpu.state import FilterState, init_state
 
 K = int(os.environ.get("BENCH_K", "1000"))
-BATCH = int(os.environ.get("BENCH_BATCH", "512"))
-# sequential update chunks per batch (gate once, update in G chunks): the
-# (2M)^3 innovation solve dominates at small D, where chunking wins.
-CHUNKS = int(os.environ.get("BENCH_CHUNKS", "1"))
+BATCH = int(os.environ.get("BENCH_BATCH", "1024" if K <= 2000 else "512"))
+# sequential update chunks per batch (gate once, update in G chunks of
+# ~256 observations each): the (2M)^3 innovation solve dominates at small
+# D, where chunk-256 scheduling measures ~3x over the single joint
+# rank-2M update (experiments/prof_gate3.py); at 10k the extra P passes
+# cost more than the solve saves, so the default stays joint.
+CHUNKS = int(os.environ.get(
+    "BENCH_CHUNKS", str(max(1, BATCH // 256)) if K <= 2000 else "1"))
 COV_DTYPE = (jnp.bfloat16 if os.environ.get("BENCH_COV_DTYPE") == "bf16"
              else None)
-N_SEQ = 64        # sequential updates per timed run
-# batched runs per timed run: amortizes the ~5 ms dispatch at small K;
-# at 10k landmarks each batch is ~14 ms (dispatch negligible) and the
-# 32-iteration program has been seen to wedge the remote compiler.
-N_BATCHES = 32 if K <= 2000 else 8
+N_SEQ = 256       # sequential updates per timed run (amortizes the floor)
+# batched runs per timed run.  The axon tunnel costs ~25-31 ms of FIXED
+# per-program-call dispatch latency regardless of program size (measured
+# on a bare `v+1` program, experiments/prof_floor4.py), so the scan must
+# be long enough to amortize it; at 10k landmarks each batch is ~14 ms
+# (floor negligible) and a 32-iteration program has been seen to wedge
+# the remote compiler.
+N_BATCHES = 256 if K <= 2000 else 8
 N_ORACLE = 2      # oracle updates to time (each is seconds at 1k)
 
 
