@@ -1,26 +1,32 @@
-"""Benchmark: EKF measurement-update throughput per chip.
+"""Benchmark: EKF measurement-update throughput per chip — full metric set.
 
-Metric (BASELINE.json): updates/sec/chip at 1k (and optionally 10k)
-landmarks — one "update" = ML data association (gate over all K landmarks,
-Correspondence.m:49-87 equivalent) + a Kalman update against the joint
-(3+2K)-dim covariance (EKF_SLAM_UC.m:125-146 equivalent).
+One invocation (the driver runs this with NO env vars) measures every
+BASELINE.json headline on the real chip and prints ONE JSON line whose
+primary metric is the north star — updates/sec/chip at 10k landmarks —
+with the rest of the set in ``extra``:
 
-Two scheduling modes are timed:
-  * sequential — the reference's per-observation chain (one pass over P
-    per observation), bit-parity semantics;
-  * batched    — the joint rank-2M innovation update (models/batched.py),
-    one pass over P per BATCH of observations: the TPU fast path and the
-    headline number.
+  * ``ekf_updates_per_sec_chip_10000_landmarks`` (primary): ML gate over
+    all K landmarks (Correspondence.m:49-87 equivalent) + joint Kalman
+    update of the (3+2K)-dim covariance (EKF_SLAM_UC.m:125-146
+    equivalent), batched M=512 — the per-chip scaling headline;
+  * ``updates_per_sec_1k``: same at 1k landmarks (M=1024, chunk-256
+    scheduling — the solve-bound regime);
+  * ``frames_per_sec``: full session pipeline (odometry → predict →
+    RANSAC → gate → update), 1024-beam scans, fused lax.scan;
+  * ``vs_baseline``: TPU updates/sec over the NumPy oracle's — the oracle
+    performs the reference's dense per-landmark-loop algebra with
+    optimized BLAS (generous to the reference: interpreted MATLAB is
+    slower; the reference itself publishes no numbers, SURVEY.md §6).
+    Measured directly at 1k; extrapolated by asymptotic cost at 10k.
 
-vs_baseline = TPU updates/sec over the NumPy oracle's updates/sec on this
-host; the oracle performs the reference's dense per-landmark-loop algebra
-(the reference itself publishes no numbers, SURVEY.md §6; north star is
->=10x per chip).
+Timing discipline: the axon tunnel imposes a ~25-31 ms FIXED per-call
+dispatch floor (measured, experiments/prof_floor4.py), so every timed
+quantity iterates INSIDE one jitted lax.scan long enough to amortize it,
+with data-dependent loop bodies so XLA cannot fold the work away.
 
-Prints ONE JSON line to stdout; details go to stderr.
-Env: BENCH_K (default 1000), BENCH_BATCH (default 512), BENCH_FRAMES=1,
-BENCH_COV_DTYPE=bf16 (bf16 covariance storage, f32 compute — halves the
-P-streaming HBM bytes that bound throughput at 10k landmarks).
+Env overrides (none are set by the driver): BENCH_K=1000|10000 restricts
+to one config; BENCH_BATCH / BENCH_CHUNKS / BENCH_COV_DTYPE=bf16 tune it;
+BENCH_FRAMES=0 / BENCH_SEQ=1 toggle the frames and sequential runs.
 """
 from __future__ import annotations
 
@@ -39,29 +45,29 @@ from ekf_slam_tpu.ops.association import gate
 from ekf_slam_tpu.oracle.np_ekf import NumpyEKFSLAM
 from ekf_slam_tpu.state import FilterState, init_state
 
-K = int(os.environ.get("BENCH_K", "1000"))
-BATCH = int(os.environ.get("BENCH_BATCH", "1024" if K <= 2000 else "512"))
-# sequential update chunks per batch (gate once, update in G chunks of
-# ~256 observations each): the (2M)^3 innovation solve dominates at small
-# D, where chunk-256 scheduling measures ~3x over the single joint
-# rank-2M update (experiments/prof_gate3.py); at 10k the extra P passes
-# cost more than the solve saves, so the default stays joint.
-CHUNKS = int(os.environ.get(
-    "BENCH_CHUNKS", str(max(1, BATCH // 256)) if K <= 2000 else "1"))
+ONLY_K = int(os.environ["BENCH_K"]) if "BENCH_K" in os.environ else None
 COV_DTYPE = (jnp.bfloat16 if os.environ.get("BENCH_COV_DTYPE") == "bf16"
              else None)
 N_SEQ = 256       # sequential updates per timed run (amortizes the floor)
-# batched runs per timed run.  The axon tunnel costs ~25-31 ms of FIXED
-# per-program-call dispatch latency regardless of program size (measured
-# on a bare `v+1` program, experiments/prof_floor4.py), so the scan must
-# be long enough to amortize it; at 10k landmarks each batch is ~14 ms
-# (floor negligible) and a 32-iteration program has been seen to wedge
-# the remote compiler.
-N_BATCHES = 256 if K <= 2000 else 8
 N_ORACLE = 2      # oracle updates to time (each is seconds at 1k)
 
 
-def make_full_state(params: EKFParams, seed=0) -> FilterState:
+def _defaults(K: int):
+    """(batch, chunks, n_batches) per landmark count.  At 1k the (2M)³
+    innovation solve dominates → chunk-256 scheduling, long scan to
+    amortize the dispatch floor; at 10k each batch is ~14-19 ms of
+    P-streaming (floor negligible) and long scans have wedged the remote
+    compiler."""
+    if K <= 2000:
+        batch, chunks, n_batches = 1024, 4, 256
+    else:
+        batch, chunks, n_batches = 512, 1, 8
+    batch = int(os.environ.get("BENCH_BATCH", batch))
+    chunks = int(os.environ.get("BENCH_CHUNKS", chunks))
+    return batch, chunks, n_batches
+
+
+def make_full_state(params: EKFParams, K: int, seed=0) -> FilterState:
     """State with all K slots active and a well-conditioned dense P.
 
     Built on-device (P is 1.6 GB at 10k landmarks — too big to stage as a
@@ -89,7 +95,7 @@ def make_full_state(params: EKFParams, seed=0) -> FilterState:
     )
 
 
-def make_measurements(state: FilterState, n: int, seed=1):
+def make_measurements(state: FilterState, K: int, n: int, seed=1):
     """n observations, each the exact predicted measurement of a random
     landmark (so the ML gate associates and the update path runs)."""
     rng = np.random.default_rng(seed)
@@ -111,9 +117,16 @@ def _time(run, *args):
     return time.perf_counter() - t0
 
 
-def sequential_updates_per_sec(params: EKFParams) -> float:
-    state = make_full_state(params)
-    zs = jnp.asarray(make_measurements(state, N_SEQ), params.dtype)
+def _params(K: int, chunks: int) -> EKFParams:
+    return EKFParams(capacity=K, association="ml", s_cost=1e6,
+                     s_thresh=1e12, ref_compat=False, dtype=jnp.float32,
+                     cov_dtype=COV_DTYPE, update_chunks=chunks)
+
+
+def sequential_updates_per_sec(K: int) -> float:
+    params = _params(K, 1)
+    state = make_full_state(params, K)
+    zs = jnp.asarray(make_measurements(state, K, N_SEQ), params.dtype)
     rc0, rc1 = params.rc
 
     def one_update(st, z):
@@ -126,11 +139,13 @@ def sequential_updates_per_sec(params: EKFParams) -> float:
     return N_SEQ / _time(run, state, zs)
 
 
-def batched_updates_per_sec(params: EKFParams) -> float:
-    state = make_full_state(params)
+def batched_updates_per_sec(K: int) -> float:
+    batch, chunks, n_batches = _defaults(K)
+    params = _params(K, chunks)
+    state = make_full_state(params, K)
     zs_all = jnp.asarray(
-        make_measurements(state, N_BATCHES * BATCH).reshape(
-            N_BATCHES, BATCH, 3), params.dtype)
+        make_measurements(state, K, n_batches * batch).reshape(
+            n_batches, batch, 3), params.dtype)
     rc0, rc1 = params.rc
 
     from ekf_slam_tpu.ops.association import gate_batch
@@ -138,16 +153,20 @@ def batched_updates_per_sec(params: EKFParams) -> float:
     def one_batch(st, zs):
         Rs = jax.vmap(lambda z: jnp.diag(
             jnp.stack([z[0] * rc0, z[1] * rc1])))(zs).astype(params.dtype)
-        is_new, slots = gate_batch(st, zs, Rs, params)
+        is_new, slots = gate_batch(st, zs, Rs, params,
+                                   use_pallas=params.use_pallas)
         valid = ~is_new
         return batched.update_chunked(st, zs, slots, Rs, valid,
                                       params), None
 
     run = jax.jit(lambda st, zb: jax.lax.scan(one_batch, st, zb)[0])
-    return (N_BATCHES * BATCH) / _time(run, state, zs_all)
+    ups = (n_batches * batch) / _time(run, state, zs_all)
+    print(f"[bench] batched (M={batch}, G={chunks}): {ups:.1f} updates/s "
+          f"@ {K} landmarks", file=sys.stderr)
+    return ups
 
 
-def oracle_updates_per_sec() -> float:
+def oracle_updates_per_sec(K: int) -> float:
     """Dense-oracle throughput.  Above 2k landmarks the oracle is measured
     at 1k and scaled by its asymptotic cost (N·D² association + D³ update —
     running it directly would take hours per observation)."""
@@ -182,8 +201,8 @@ def _oracle_at(k: int) -> float:
     t0 = time.perf_counter()
     for z in zs:
         R = np.diag([z[0] * 0.1, z[1] * 5.0])
-        is_new, k = oracle.correspond(z, R)
-        oracle.update(z, k if not is_new else int(z[2]) - 1, R)
+        is_new, kk = oracle.correspond(z, R)
+        oracle.update(z, kk if not is_new else int(z[2]) - 1, R)
     dt = time.perf_counter() - t0
     return N_ORACLE / dt
 
@@ -215,32 +234,58 @@ def frames_per_sec() -> float:
     beams = jnp.asarray(traj.beam_angles, jnp.float32)
     carry = sess.init_carry(first_odom=odom[0])
     dt = _time(lambda: sess._run(carry, odom, rng, beams))
-    return T / dt
+    fps = T / dt
+    print(f"[bench] session frames/s (full pipeline, 1024 beams, cap 128): "
+          f"{fps:.1f}", file=sys.stderr)
+    return fps
 
 
 def main():
-    params = EKFParams(capacity=K, association="ml", s_cost=1e6,
-                       s_thresh=1e12, ref_compat=False, dtype=jnp.float32,
-                       cov_dtype=COV_DTYPE, update_chunks=CHUNKS)
     plat = jax.devices()[0].platform
-    if os.environ.get("BENCH_FRAMES") == "1":
-        fps = frames_per_sec()
-        print(f"[bench] session frames/s (full pipeline, 1024 beams, "
-              f"cap 128): {fps:.1f}", file=sys.stderr)
-    bat = batched_updates_per_sec(params)
-    print(f"[bench] batched (M={BATCH}): {bat:.1f} updates/s @ {K} "
-          f"landmarks ({plat})", file=sys.stderr)
-    seq = sequential_updates_per_sec(params)
-    print(f"[bench] sequential: {seq:.1f} updates/s", file=sys.stderr)
-    orc = oracle_updates_per_sec()
-    print(f"[bench] numpy oracle: {orc:.3f} updates/s", file=sys.stderr)
-    best = max(bat, seq)
-    print(json.dumps({
-        "metric": f"ekf_updates_per_sec_chip_{K}_landmarks",
-        "value": round(best, 2),
-        "unit": "updates/s",
-        "vs_baseline": round(best / orc, 2),
-    }))
+    print(f"[bench] platform: {plat}", file=sys.stderr)
+    extra = {}
+
+    run_1k = ONLY_K in (None, 1000)
+    run_10k = ONLY_K in (None, 10000)
+    run_frames = os.environ.get("BENCH_FRAMES", "1") == "1" and run_1k
+
+    if run_frames:
+        extra["frames_per_sec"] = round(frames_per_sec(), 1)
+
+    orc_1k = _oracle_at(1000)
+    print(f"[bench] numpy oracle @1k: {orc_1k:.3f} updates/s",
+          file=sys.stderr)
+
+    if run_1k:
+        ups_1k = batched_updates_per_sec(1000)
+        extra["updates_per_sec_1k"] = round(ups_1k, 1)
+        extra["vs_baseline_1k"] = round(ups_1k / orc_1k, 1)
+        if os.environ.get("BENCH_SEQ") == "1":
+            extra["sequential_updates_per_sec_1k"] = round(
+                sequential_updates_per_sec(1000), 1)
+
+    if run_10k:
+        ups_10k = batched_updates_per_sec(10000)
+        scale = ((10000 * 20003 ** 2 + 20003 ** 3)
+                 / (1000 * 2003 ** 2 + 2003 ** 3))
+        orc_10k = orc_1k / scale
+        print(f"[bench] oracle @10k (extrapolated by 1/{scale:.0f}): "
+              f"{orc_10k:.2e} updates/s", file=sys.stderr)
+        primary = {
+            "metric": "ekf_updates_per_sec_chip_10000_landmarks",
+            "value": round(ups_10k, 2),
+            "unit": "updates/s",
+            "vs_baseline": round(ups_10k / orc_10k, 2),
+        }
+    else:
+        primary = {
+            "metric": "ekf_updates_per_sec_chip_1000_landmarks",
+            "value": extra.pop("updates_per_sec_1k"),
+            "unit": "updates/s",
+            "vs_baseline": extra.pop("vs_baseline_1k"),
+        }
+    primary["extra"] = extra
+    print(json.dumps(primary))
 
 
 if __name__ == "__main__":

@@ -90,6 +90,15 @@ class EKFParams:
     #:    inverse-measurement bearing (EKF_SLAM.m:87-88)
     ref_compat: bool = True
 
+    #: evaluate the batched-mode hot ops with the hand-written Pallas
+    #: kernels (ops/pallas/) instead of the XLA paths: the fused [M,K]
+    #: association gate (gating.py) and the rank-2M covariance correction
+    #: (kernels.cov_update, non-Joseph only).  Both are bit-tested against
+    #: the XLA paths; on CPU they run in interpret mode.  Measured on chip
+    #: the XLA paths are already at the roof (BASELINE.md), so this is an
+    #: experiment flag, not a default.
+    use_pallas: bool = False
+
     #: Joseph-form covariance update (symmetric/PSD-preserving) instead of the
     #: reference's (I-KH)P form (EKF_SLAM_UC.m:146) which loses symmetry.
     joseph: bool = False

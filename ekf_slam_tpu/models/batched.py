@@ -148,6 +148,11 @@ def update_batch(state: FilterState, zs: jnp.ndarray, slots: jnp.ndarray,
     if params.joseph:
         KB = mm(Kg, PHt.T)
         P = (P - KB - KB.T + mm(Kg @ S, Kg.T)).astype(P.dtype)
+    elif params.use_pallas and not fast16:
+        # fused rank-2M correction: P tiles aliased in-place, one
+        # read + one write of P (ops/pallas/kernels.cov_update)
+        from ..ops.pallas.kernels import cov_update
+        P = cov_update(P, Kg, PHt.T, use_pallas=True)
     else:
         P = (P - mm(Kg, PHt.T)).astype(P.dtype)
     if params.symmetrize:
@@ -170,11 +175,14 @@ def update_chunked(state: FilterState, zs: jnp.ndarray, slots: jnp.ndarray,
     """
     G = max(1, int(params.update_chunks))
     M = zs.shape[0]
-    if G == 1 or M % G != 0:
+    if G == 1 or G >= M:
         return update_batch(state, zs, slots, Rs, valid, params)
-    m = M // G
-    for g in range(G):
-        sl = slice(g * m, (g + 1) * m)
+    # ceil-divide so a non-divisible M still gets the requested scheduling:
+    # G-1 chunks of ceil(M/G) plus a final smaller remainder chunk (slices
+    # by python ints stay static shapes under jit).
+    m = -(-M // G)
+    for g0 in range(0, M, m):
+        sl = slice(g0, min(g0 + m, M))
         state = update_batch(state, zs[sl], slots[sl], Rs[sl], valid[sl],
                              params)
     return state
@@ -203,7 +211,8 @@ def measure_batched(state: FilterState, obs: ObsBatch, u: jnp.ndarray,
         slots = jnp.clip(obs.index - 1, 0, state.capacity - 1)
     else:
         from ..ops.association import gate_batch
-        is_new, slots = gate_batch(state, zs, Rs, params)
+        is_new, slots = gate_batch(state, zs, Rs, params,
+                                   use_pallas=params.use_pallas)
     first = state.n_active == 0
     is_new = jnp.logical_or(is_new, first)
 

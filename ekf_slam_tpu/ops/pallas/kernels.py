@@ -58,15 +58,17 @@ def _cov_update_kernel(p_ref, k_ref, v_ref, o_ref):
 def cov_update_pallas(P: jnp.ndarray, K: jnp.ndarray, V: jnp.ndarray,
                       tile_m: int = 256, tile_n: int = 512,
                       interpret: bool = False) -> jnp.ndarray:
-    """Tiled in-place P − K·V.  Requires D divisible by the tiles (the
-    sharded state is already padded; pad_cov_operands handles the rest).
+    """Tiled in-place P − K·V.
 
     The P block is aliased to the output block, so HBM traffic is exactly
-    one read + one write of P plus the (negligible) K/V tiles."""
+    one read + one write of P plus the (negligible) K/V tiles.  D = 3+2K
+    is odd, so the grid ceil-divides and Pallas masks the ragged edge
+    tiles (reads padded, out-of-bounds writes dropped)."""
     D = P.shape[0]
     R = K.shape[1]
-    assert D % tile_m == 0 and D % tile_n == 0, (D, tile_m, tile_n)
-    grid = (D // tile_m, D // tile_n)
+    tile_m = min(tile_m, _round_up(D, 8))
+    tile_n = min(tile_n, _round_up(D, 128))
+    grid = (pl.cdiv(D, tile_m), pl.cdiv(D, tile_n))
     return pl.pallas_call(
         _cov_update_kernel,
         grid=grid,
@@ -92,12 +94,11 @@ def cov_update_pallas(P: jnp.ndarray, K: jnp.ndarray, V: jnp.ndarray,
 
 def cov_update(P: jnp.ndarray, K: jnp.ndarray, V: jnp.ndarray,
                use_pallas: bool = None) -> jnp.ndarray:
-    """P − K·V with automatic backend dispatch."""
+    """P − K·V with automatic backend dispatch (interpret mode off-TPU)."""
     if use_pallas is None:
         use_pallas = _on_tpu()
-    D = P.shape[0]
-    if use_pallas and D % 256 == 0:
-        return cov_update_pallas(P, K, V)
+    if use_pallas:
+        return cov_update_pallas(P, K, V, interpret=not _on_tpu())
     return cov_update_ref(P, K, V)
 
 

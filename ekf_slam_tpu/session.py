@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from .config import (ASSOC_KNOWN, ASSOC_SIGNATURE, EKFParams, RansacParams,
                      ref_compat_known, ref_compat_uc)
 from .models import ekf
-from .ops.angles import angdiff_deg
+from .ops.angles import angdiff_deg, cosd, sind
 from .ops.observations import ObsBatch
 from .ops.ransac import LandmarkTable, extract, init_table
 from .ops.scan import Scan, scan_from_ranges
@@ -81,10 +81,24 @@ class SlamSession:
     #: consecutive odometry poses (SLAM.m:105-107); 'icp' estimates the
     #: relative transform by scan-to-scan ICP (ops/icp.py) — for platforms
     #: without wheel odometry (no reference analog; the reference requires
-    #: /odom).  In icp mode the odom_pose argument is ignored.
+    #: /odom) — in icp mode the odom_pose argument is ignored; 'fused'
+    #: computes both and takes the ICP estimate when its quality gates
+    #: pass (icp_min_inliers / icp_max_rmse), falling back to the
+    #: dead-reckoned odometry otherwise (e.g. featureless corridors where
+    #: the scan match degenerates).
     control_source: str = "odometry"
     icp_iters: int = 15
     icp_max_pair_dist: float = 0.5
+    #: sign ΔD by the ICP translation direction in the previous robot
+    #: frame (projection onto the chord heading ΔΘ/2), so backward motion
+    #: yields a negative ΔD.  The odometry source keeps the reference's
+    #: unsigned hypot (SLAM.m:105), which aliases reversing to forward —
+    #: ICP can actually observe the sign, so it uses it by default.
+    icp_signed: bool = True
+    #: fused-mode quality gates: ICP wins only with at least this many
+    #: inlier pairs and at most this RMS residual.
+    icp_min_inliers: int = 30
+    icp_max_rmse: float = 0.25
 
     def __post_init__(self):
         if self.algorithm not in ALGORITHMS:
@@ -95,10 +109,10 @@ class SlamSession:
             raise ValueError(
                 f"unknown extractor {self.extractor!r}; "
                 f"choose from {sorted(EXTRACTORS)}")
-        if self.control_source not in ("odometry", "icp"):
+        if self.control_source not in ("odometry", "icp", "fused"):
             raise ValueError(
                 f"unknown control_source {self.control_source!r}; "
-                f"choose from ['icp', 'odometry']")
+                f"choose from ['fused', 'icp', 'odometry']")
         if self.ekf_params is None:
             self.ekf_params = ALGORITHMS[self.algorithm]()
         if self.ransac_params is None:
@@ -127,11 +141,11 @@ class SlamSession:
                if first_odom is None
                else jnp.asarray(first_odom, self.ekf_params.dtype))
         prev_pts = prev_valid = None
-        if self.control_source == "icp":
+        if self.control_source in ("icp", "fused"):
             if n_beams is None:
                 raise ValueError(
-                    "control_source='icp' needs n_beams at init_carry "
-                    "(the previous scan is part of the carry)")
+                    f"control_source={self.control_source!r} needs n_beams "
+                    "at init_carry (the previous scan is part of the carry)")
             # empty previous scan → first tick's ICP finds no pairs → u=0
             prev_pts = jnp.zeros((n_beams, 2), self.ekf_params.dtype)
             prev_valid = jnp.zeros((n_beams,), bool)
@@ -151,11 +165,10 @@ class SlamSession:
                  ) -> Tuple[SessionCarry, StepOutput]:
             scan = scan_from_ranges(ranges, beam_angles)
             prev_pts = prev_valid = None
-            if self.control_source == "icp":
+            if self.control_source in ("icp", "fused"):
                 # scan-to-scan odometry: align this scan onto the previous
                 # one (robot frame) — the transform IS the robot's motion
-                # (ops/icp.py).  ΔD stays unsigned, matching the
-                # dead-reckoned hypot at SLAM.m:105.
+                # expressed in the previous robot frame (ops/icp.py).
                 from .ops.icp import icp
                 from .ops.scan import to_cartesian
                 pts = to_cartesian(scan).astype(ep.dtype)
@@ -163,9 +176,32 @@ class SlamSession:
                     res = icp(pts, scan.valid, carry.prev_pts,
                               carry.prev_valid, iters=self.icp_iters,
                               max_pair_dist=self.icp_max_pair_dist)
-                dD = jnp.linalg.norm(res.pose[:2])
                 dTh = res.pose[2]
+                mag = jnp.linalg.norm(res.pose[:2])
+                if self.icp_signed:
+                    # diff-drive chord points along heading ΔΘ/2 in the
+                    # previous frame: a negative projection means the
+                    # robot moved backward — sign ΔD accordingly (the
+                    # reference's unsigned hypot, SLAM.m:105, aliases
+                    # reversing to forward).
+                    half = dTh * 0.5
+                    proj = (res.pose[0] * cosd(half)
+                            + res.pose[1] * sind(half))
+                    dD = jnp.where(proj < 0, -mag, mag)
+                else:
+                    dD = mag
                 prev_pts, prev_valid = pts, scan.valid
+                if self.control_source == "fused":
+                    # ICP wins only when the match is trustworthy;
+                    # otherwise dead-reckon the odometry (SLAM.m:105-107).
+                    dD_o = jnp.sqrt(
+                        (odom_pose[0] - carry.old_odom[0]) ** 2
+                        + (odom_pose[1] - carry.old_odom[1]) ** 2)
+                    dTh_o = angdiff_deg(carry.old_odom[2], odom_pose[2])
+                    ok = ((res.n_inliers >= self.icp_min_inliers)
+                          & (res.rmse <= self.icp_max_rmse))
+                    dD = jnp.where(ok, dD, dD_o)
+                    dTh = jnp.where(ok, dTh, dTh_o)
             else:
                 # control from consecutive odometry poses (SLAM.m:105-107)
                 dD = jnp.sqrt((odom_pose[0] - carry.old_odom[0]) ** 2
@@ -228,6 +264,7 @@ class SlamSession:
             carry = self.init_carry(
                 first_odom=odom_poses[0],
                 n_beams=(jnp.asarray(ranges).shape[1]
-                         if self.control_source == "icp" else None))
+                         if self.control_source in ("icp", "fused")
+                         else None))
         return self._run(carry, jnp.asarray(odom_poses),
                          jnp.asarray(ranges), jnp.asarray(beam_angles))

@@ -157,11 +157,25 @@ def test_update_chunked_matches_manual_chunks():
                                rtol=1e-12, atol=0)
     np.testing.assert_allclose(np.asarray(got.P), np.asarray(want.P),
                                rtol=1e-12, atol=0)
-    # non-divisible G falls back to the single joint update
+    # non-divisible G: ceil-divide into chunks of ceil(M/G) with a smaller
+    # remainder chunk — G=3 over M=4 gives chunks [0:2],[2:4], same as G=2
+    # (previously this silently fell back to the single joint update)
     p3 = dataclasses_replace(p2, update_chunks=3)
     fb = batched.update_chunked(state, zs_j, slots, Rs_j, valid, p3)
-    ref = batched.update_batch(state, zs_j, slots, Rs_j, valid, PARAMS)
-    np.testing.assert_allclose(np.asarray(fb.P), np.asarray(ref.P),
+    np.testing.assert_allclose(np.asarray(fb.P), np.asarray(want.P),
+                               rtol=1e-12, atol=0)
+    # G=5 over M=7: chunks of 2,2,2,1 — remainder chunk exercised
+    z7 = jnp.concatenate([zs_j, zs_j[:3]])
+    R7 = jnp.concatenate([Rs_j, Rs_j[:3]])
+    s7 = jnp.concatenate([slots, slots[:3]])
+    v7 = jnp.ones((7,), bool)
+    p5 = dataclasses_replace(p2, update_chunks=5)
+    got7 = batched.update_chunked(state, z7, s7, R7, v7, p5)
+    want7 = state
+    for a, b in [(0, 2), (2, 4), (4, 6), (6, 7)]:
+        want7 = batched.update_batch(want7, z7[a:b], s7[a:b], R7[a:b],
+                                     v7[a:b], PARAMS)
+    np.testing.assert_allclose(np.asarray(got7.P), np.asarray(want7.P),
                                rtol=1e-12, atol=0)
 
 

@@ -86,6 +86,89 @@ def test_session_icp_control_source():
     assert carry.prev_pts is not None and carry.prev_valid is not None
 
 
+def make_reversing_traj(T=80, n_beams=720, seed=0):
+    """Drive forward T/2 ticks, then reverse back along the same line —
+    the case the reference's unsigned hypot dead-reckoning (SLAM.m:105)
+    aliases to continued forward motion."""
+    import numpy as np
+    from ekf_slam_tpu.config import SimConfig
+    from ekf_slam_tpu.sim import world as W
+    cfg = SimConfig(n_beams=n_beams, max_range=12.0, range_noise_std=0.005,
+                    odom_xy_noise_std=0.0, odom_theta_noise_std=0.0)
+    room = W.rectangle_room(4.0, 3.0)
+    dD = np.full(T, 0.05)
+    dD[T // 2:] = -0.05
+    controls = jnp.asarray(np.stack([dD, np.zeros(T)], -1))
+    traj = W.simulate(room, controls, cfg, jax.random.PRNGKey(seed),
+                      start_pose=(-1.5, 0.0, 0.0))
+    return traj
+
+
+def test_session_icp_signed_handles_reversing():
+    """Signed ICP ΔD tracks a reversing trajectory; the unsigned mode
+    (reference-style hypot) provably cannot (session.py icp_signed)."""
+    from ekf_slam_tpu.config import EKFParams
+    from ekf_slam_tpu.session import SlamSession
+    from ekf_slam_tpu.sim import world as W
+    from test_sim_session import SIM_RANSAC
+
+    traj = make_reversing_traj(T=80)
+    kw = dict(
+        algorithm="EKF_SLAM_UC",
+        ekf_params=EKFParams(capacity=16, max_obs=8, ref_compat=False,
+                             update_mode="batched", dtype=jnp.float64),
+        ransac_params=SIM_RANSAC, seed=1,
+        control_source="icp", icp_iters=15, icp_max_pair_dist=0.5)
+    garbage_odom = jnp.zeros_like(jnp.asarray(traj.odom))
+
+    signed = SlamSession(icp_signed=True, **kw)
+    _, outs = signed.run(garbage_odom, traj.ranges, traj.beam_angles)
+    # SLAM frame starts at the filter origin; truth starts at (-1.5,0,0),
+    # so compare displacements from the start.
+    est = np.asarray(outs.pose[:, :2]) - np.asarray(outs.pose[0, :2])
+    tru = np.asarray(traj.truth[:, :2]) - np.asarray(traj.truth[0, :2])
+    ate_signed = float(np.sqrt(np.mean(np.sum((est - tru) ** 2, -1))))
+    assert ate_signed < 0.3, ate_signed
+
+    unsigned = SlamSession(icp_signed=False, **kw)
+    _, outs_u = unsigned.run(garbage_odom, traj.ranges, traj.beam_angles)
+    est_u = np.asarray(outs_u.pose[:, :2]) - np.asarray(outs_u.pose[0, :2])
+    ate_unsigned = float(np.sqrt(np.mean(np.sum((est_u - tru) ** 2, -1))))
+    # the unsigned filter keeps predicting forward while reversing —
+    # visibly worse than the signed run
+    assert ate_unsigned > 2 * ate_signed, (ate_unsigned, ate_signed)
+
+
+def test_session_fused_control_falls_back_to_odometry():
+    """control_source='fused': ICP drives when the scan match is good;
+    dead-reckoned odometry takes over when it degenerates (here: scans
+    blanked mid-run so ICP has nothing to match)."""
+    from ekf_slam_tpu.config import EKFParams
+    from ekf_slam_tpu.sim import world as W
+    from ekf_slam_tpu.session import SlamSession
+    from test_sim_session import SIM_RANSAC, make_traj
+
+    traj, _ = make_traj(T=60)
+    ranges = np.asarray(traj.ranges).copy()
+    ranges[20:30] = np.nan              # sensor dropout: ICP must not win
+    sess = SlamSession(
+        algorithm="EKF_SLAM_UC",
+        ekf_params=EKFParams(capacity=16, max_obs=8, ref_compat=False,
+                             update_mode="batched", dtype=jnp.float64),
+        ransac_params=SIM_RANSAC, seed=1,
+        control_source="fused", icp_iters=15, icp_max_pair_dist=0.5,
+        icp_min_inliers=30, icp_max_rmse=0.25)
+    carry, outs = sess.run(traj.odom, jnp.asarray(ranges),
+                           traj.beam_angles)
+    ate = float(W.ate_rmse(outs.pose[:, :2], traj.truth[:, :2]))
+    assert ate < 0.5, ate
+    # during the dropout the control must equal the odometry dead-reckon
+    odom = np.asarray(traj.odom)
+    dd = np.hypot(np.diff(odom[:, 0]), np.diff(odom[:, 1]))
+    u = np.asarray(outs.u)
+    np.testing.assert_allclose(u[22:29, 0], dd[21:28], rtol=1e-6)
+
+
 def test_session_icp_requires_beams_at_init():
     from ekf_slam_tpu.config import EKFParams
     from ekf_slam_tpu.session import SlamSession

@@ -43,6 +43,48 @@ def test_gating_kernel_matches_xla():
         assert np.all(np.isinf(got[m][~act]))
 
 
+def test_gating_kernel_multi_tile_m():
+    """M=300 spans two measurement tiles (TM=256) with a padded remainder —
+    exercises the per-tile m index maps and padded-row masking that a
+    single-tile test (M<=256) cannot reach."""
+    M = 300
+    params = EKFParams(capacity=8, association="ml", s_cost=1e6,
+                       s_thresh=1e12, ref_compat=False, dtype=jnp.float64)
+    state, _ = make_pair(6, seed=11)
+    state = state._replace(P=0.5 * (state.P + state.P.T))
+    rng = np.random.default_rng(7)
+    slots = rng.integers(0, 6, M)
+    zs, rdiag = [], []
+    for slot in slots:
+        z = measurement_of(state, int(slot), noise=0.05, rng=rng)
+        zs.append(z)
+        rdiag.append([abs(z[0]) * 0.1, abs(z[1]) * 5.0])
+    zs = jnp.asarray(np.stack(zs))
+    rdiag = jnp.asarray(np.asarray(rdiag))
+
+    lm, sig, active, prr, prl, pll = strips_from_state(state)
+    got = np.asarray(gate_costs_pallas(
+        state.x[:3], prr, zs, rdiag, lm, sig, active, prl, pll,
+        params.s_cost, wrap_innovation=True, interpret=True))
+    assert got.shape == (M, state.capacity)
+
+    act = np.asarray(state.active)
+    for m in range(0, M, 37):          # sample across both tiles
+        R = jnp.diag(rdiag[m])
+        pos, sigc = gate_costs(state, zs[m], R, params)
+        want = np.asarray(pos + sigc)
+        np.testing.assert_allclose(got[m][act], want[act], rtol=1e-6,
+                                   atol=1e-8)
+        assert np.all(np.isinf(got[m][~act]))
+    # the tile seam itself
+    for m in (255, 256, 299):
+        R = jnp.diag(rdiag[m])
+        pos, sigc = gate_costs(state, zs[m], R, params)
+        np.testing.assert_allclose(got[m][act],
+                                   np.asarray(pos + sigc)[act],
+                                   rtol=1e-6, atol=1e-8)
+
+
 def test_gate_batch_pallas_flag_matches_xla():
     """use_pallas=True (interpret on CPU) must agree with the XLA gate."""
     from ekf_slam_tpu.ops.association import gate_batch

@@ -29,6 +29,52 @@ def test_cov_update_dispatch_cpu_falls_back(rng):
                                rtol=1e-6)
 
 
+def test_cov_update_odd_d_ragged_tiles(rng):
+    """D = 3+2K is odd — the cdiv grid must mask the ragged edge tiles."""
+    D, R = 203, 16
+    P = jnp.asarray(rng.normal(0, 1, (D, D)), jnp.float32)
+    K = jnp.asarray(rng.normal(0, 1, (D, R)), jnp.float32)
+    V = jnp.asarray(rng.normal(0, 1, (R, D)), jnp.float32)
+    ref = kernels.cov_update_ref(P, K, V)
+    out = kernels.cov_update_pallas(P, K, V, tile_m=64, tile_n=128,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_update_batch_use_pallas_matches_xla(rng):
+    """EKFParams.use_pallas routes the gate AND the covariance correction
+    through the Pallas kernels (interpret on CPU) — full-path parity."""
+    import dataclasses
+    from ekf_slam_tpu.config import EKFParams
+    from ekf_slam_tpu.models import batched
+    from test_ekf_core import make_pair
+    from test_batched import measurement_of
+
+    base = EKFParams(capacity=8, max_obs=4, association="ml", s_cost=1e6,
+                     s_thresh=1e12, ref_compat=False, dtype=jnp.float64)
+    state, _ = make_pair(5, seed=13)
+    state = state._replace(P=0.5 * (state.P + state.P.T))
+    rr = np.random.default_rng(5)
+    zs, Rs = [], []
+    for slot in [0, 2, 4, 1]:
+        z = measurement_of(state, slot, noise=0.02, rng=rr)
+        zs.append(z)
+        Rs.append(np.diag([abs(z[0]) * 0.1, abs(z[1]) * 5.0]))
+    zs_j = jnp.asarray(np.stack(zs))
+    Rs_j = jnp.asarray(np.stack(Rs))
+    slots = jnp.asarray([0, 2, 4, 1])
+    valid = jnp.ones((4,), bool)
+
+    want = batched.update_batch(state, zs_j, slots, Rs_j, valid, base)
+    pal = dataclasses.replace(base, use_pallas=True)
+    got = batched.update_batch(state, zs_j, slots, Rs_j, valid, pal)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(want.x),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.P), np.asarray(want.P),
+                               rtol=1e-8, atol=1e-10)
+
+
 def test_score_lines_matches_ref(rng):
     B, NH = 700, 37
     pts = jnp.asarray(rng.uniform(-5, 5, (B, 2)), jnp.float32)
