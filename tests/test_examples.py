@@ -27,3 +27,14 @@ def test_fleet_example(capsys):
     run_example("fleet_mapping.py", ["--robots", "2", "--ticks", "25"])
     out = capsys.readouterr().out
     assert out.count("robot ") == 2
+
+
+def test_streaming_example(capsys):
+    import json
+    run_example("streaming_slam.py",
+                ["--ticks", "32", "--rate-hz", "0", "--window", "8",
+                 "--n-beams", "180", "--json"])
+    out = capsys.readouterr().out
+    s = json.loads(out.strip().splitlines()[-1])
+    assert s["ticks"] == 32 and s["completed"] == 32
+    assert s["latency_p99_ms"] >= s["latency_p50_ms"] > 0
