@@ -99,6 +99,17 @@ class EKFParams:
     #: experiment flag, not a default.
     use_pallas: bool = False
 
+    #: express predict's sparse F·P·Fᵀ row/col updates and append's
+    #: covariance block writes as elementwise where-selects over the full
+    #: P plane instead of scatter/dynamic-update-slice ops.  Under a
+    #: row-sharded P the scatter forms force GSPMD to all-gather the whole
+    #: covariance (measured: 2×P per append + 1×P per predict tick at any
+    #: capacity, experiments/scaling_harness.py); the masked forms are
+    #: purely local.  Costs an O(D²/n) elementwise pass where the scatter
+    #: was O(D), so it is enabled automatically by ShardedSlamSession and
+    #: off for single-chip runs.
+    masked_writes: bool = False
+
     #: Joseph-form covariance update (symmetric/PSD-preserving) instead of the
     #: reference's (I-KH)P form (EKF_SLAM_UC.m:146) which loses symmetry.
     joseph: bool = False

@@ -85,12 +85,29 @@ def predict(state: FilterState, u: jnp.ndarray, params: EKFParams
     # in the state dtype; results cast to P's storage dtype (bf16 storage
     # under params.cov_dtype keeps compute full-precision).
     row2 = P[2]
-    P = (P.at[0].add((f13 * row2).astype(P.dtype))
-          .at[1].add((f23 * row2).astype(P.dtype)))
-    col2 = P[:, 2]
-    P = (P.at[:, 0].add((f13 * col2).astype(P.dtype))
-          .at[:, 1].add((f23 * col2).astype(P.dtype)))
-    P = P.at[:3, :3].add(Qb.astype(P.dtype))
+    if params.masked_writes:
+        # where-selected full-plane form: every write is elementwise, so a
+        # row-sharded P never moves (the scatter form below makes GSPMD
+        # all-gather P, experiments/scaling_harness.py); untouched entries
+        # are bit-identical (select, not add-zero).
+        D = P.shape[0]
+        ridx = jnp.arange(D)
+        r = ridx[:, None]
+        c = ridx[None, :]
+        P = jnp.where(r == 0, P + (f13 * row2[None, :]).astype(P.dtype), P)
+        P = jnp.where(r == 1, P + (f23 * row2[None, :]).astype(P.dtype), P)
+        col2 = P[:, 2]
+        P = jnp.where(c == 0, P + (f13 * col2[:, None]).astype(P.dtype), P)
+        P = jnp.where(c == 1, P + (f23 * col2[:, None]).astype(P.dtype), P)
+        Qb_full = jnp.zeros_like(P).at[:3, :3].set(Qb.astype(P.dtype))
+        P = jnp.where((r < 3) & (c < 3), P + Qb_full, P)
+    else:
+        P = (P.at[0].add((f13 * row2).astype(P.dtype))
+              .at[1].add((f23 * row2).astype(P.dtype)))
+        col2 = P[:, 2]
+        P = (P.at[:, 0].add((f13 * col2).astype(P.dtype))
+              .at[:, 1].add((f23 * col2).astype(P.dtype)))
+        P = P.at[:3, :3].add(Qb.astype(P.dtype))
 
     return state._replace(x=x, P=P)
 
@@ -125,16 +142,45 @@ def append(state: FilterState, u: jnp.ndarray, R2: jnp.ndarray,
             jnp.stack([sind(dTh), dD * cosd(dTh)]),
         ]).astype(ct)
 
-        cross = (jxr @ P[:3, :].astype(ct)).astype(P.dtype)      # [2, D]
-        diag = (jxr @ P[:3, :3].astype(ct) @ jxr.T
-                + jz @ R2.astype(ct) @ jz.T).astype(P.dtype)
+        if params.masked_writes:
+            # full-row contraction instead of slicing P's top rows: the
+            # row slice of a row-sharded P reshards it (one D²/n all-to-all
+            # per append, measured); padding jxr to [2,D] keeps the dot
+            # local (partial sums + a [2,D] psum).
+            jxr_pad = jnp.zeros((2, P.shape[0]), ct).at[:, :3].set(jxr)
+            cross = (jxr_pad @ P.astype(ct)).astype(P.dtype)     # [2, D]
+            diag = (cross[:, :3].astype(ct) @ jxr.T
+                    + jz @ R2.astype(ct) @ jz.T).astype(P.dtype)
+        else:
+            cross = (jxr @ P[:3, :].astype(ct)).astype(P.dtype)  # [2, D]
+            diag = (jxr @ P[:3, :3].astype(ct) @ jxr.T
+                    + jz @ R2.astype(ct) @ jz.T).astype(P.dtype)
 
         slot = s.n_active
         row = jnp.asarray(3 + 2 * slot, jnp.int32)
         zero = jnp.zeros((), jnp.int32)
-        P = lax.dynamic_update_slice(P, cross, (row, zero))
-        P = lax.dynamic_update_slice(P, cross.T, (zero, row))
-        P = lax.dynamic_update_slice(P, diag, (row, row))
+        if params.masked_writes:
+            # where-selected writes: the dynamic-update-slice at a traced
+            # row forces GSPMD to all-gather a row-sharded P (2×P bytes
+            # per append, measured) — these stay local.
+            D = P.shape[0]
+            ridx = jnp.arange(D)
+            is_r0 = (ridx == row)[:, None]
+            is_r1 = (ridx == row + 1)[:, None]
+            is_c0 = (ridx == row)[None, :]
+            is_c1 = (ridx == row + 1)[None, :]
+            P = jnp.where(is_r0, cross[0][None, :], P)
+            P = jnp.where(is_r1, cross[1][None, :], P)
+            P = jnp.where(is_c0, cross[0][:, None], P)
+            P = jnp.where(is_c1, cross[1][:, None], P)
+            dval = jnp.where(is_r0,
+                             jnp.where(is_c0, diag[0, 0], diag[0, 1]),
+                             jnp.where(is_c0, diag[1, 0], diag[1, 1]))
+            P = jnp.where((is_r0 | is_r1) & (is_c0 | is_c1), dval, P)
+        else:
+            P = lax.dynamic_update_slice(P, cross, (row, zero))
+            P = lax.dynamic_update_slice(P, cross.T, (zero, row))
+            P = lax.dynamic_update_slice(P, diag, (row, row))
         x = lax.dynamic_update_slice(x, loc.astype(x.dtype), (row,))
         return FilterState(
             x=x, P=P,

@@ -116,5 +116,46 @@ def sharded_update_batch(state: FilterState, zs, slots, Rs, valid,
     P_new, dx = upd(state.P, Ht, nu, Rblk)
     x = state.x + dx
     if params.symmetrize:
+        # NOTE: transposing a row-sharded D×D matrix is a full all-to-all
+        # outside the audited collective set above — O(D²/n) bytes/device.
+        # Prefer params.joseph/srekf for PSD control in sharded runs; this
+        # stays for parity with the single-device flag.
         P_new = 0.5 * (P_new + P_new.T)
     return state._replace(x=x, P=P_new)
+
+
+def measure_batched_shard_map(state: FilterState, obs, u, params: EKFParams,
+                              mesh: Mesh, axis: str = "map") -> FilterState:
+    """Measurement phase with the explicit-collective joint update.
+
+    Mirrors models/batched.measure_batched (gate against the tick's prior
+    state → ONE joint update → sequential masked appends) but routes the
+    rank-2M update through ``sharded_update_batch`` so every collective is
+    explicit (module doc).  Appends are O(D) dynamic-slice writes left to
+    GSPMD.  Selected by ShardedSlamSession(update_path='shard_map')."""
+    import jax
+    from jax import lax
+
+    from ..models import ekf
+    from ..ops.association import gate_batch
+
+    rc0 = jnp.asarray(params.rc[0], params.dtype)
+    rc1 = jnp.asarray(params.rc[1], params.dtype)
+    zs = jnp.stack([obs.rng, obs.bearing,
+                    obs.index.astype(params.dtype)], axis=-1)
+    Rs = jax.vmap(lambda z: jnp.diag(
+        jnp.stack([z[0] * rc0, z[1] * rc1])))(zs)
+
+    is_new, slots = gate_batch(state, zs, Rs, params)
+    first = state.n_active == 0
+    is_new = jnp.logical_or(is_new, first)
+
+    upd_valid = obs.valid & ~is_new
+    state = sharded_update_batch(state, zs, slots, Rs, upd_valid, params,
+                                 mesh, axis=axis)
+
+    def body(ii, s):
+        def do(s):
+            return ekf.append(s, u, Rs[ii], obs.loc[ii], zs[ii, 2], params)
+        return lax.cond(obs.valid[ii] & is_new[ii], do, lambda s: s, s)
+    return lax.fori_loop(0, zs.shape[0], body, state)

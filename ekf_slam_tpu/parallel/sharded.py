@@ -60,12 +60,28 @@ class ShardedSlamSession:
     ekf_params: EKFParams = None
     ransac_params: Optional[RansacParams] = None
     seed: int = 0
+    #: how the distributed joint update is expressed:
+    #:   'gspmd'     — single-chip code + sharding constraints; XLA derives
+    #:                 the collectives (this module's default);
+    #:   'shard_map' — the explicit psum/all_gather Schur combine
+    #:                 (parallel/shard_update.py), auditable collective-
+    #:                 by-collective and separately benchmarkable.
+    #: Both are bit-compared in tests and by experiments/scaling_harness.py.
+    update_path: str = "gspmd"
 
     def __post_init__(self):
         if self.ekf_params is None:
             self.ekf_params = EKFParams()
         if self.ransac_params is None:
             self.ransac_params = RansacParams(dtype=self.ekf_params.dtype)
+        if self.update_path not in ("gspmd", "shard_map"):
+            raise ValueError(f"unknown update_path {self.update_path!r}")
+        # scatter/dynamic-slice writes into a row-sharded P make GSPMD
+        # all-gather the whole covariance (3×P bytes/tick measured by
+        # experiments/scaling_harness.py); the masked elementwise forms
+        # stay local.
+        self.ekf_params = dataclasses.replace(self.ekf_params,
+                                              masked_writes=True)
         self.n_map = self.mesh.shape["map"]
         ep, rp = self.ekf_params, self.ransac_params
         mesh = self.mesh
@@ -84,7 +100,11 @@ class ShardedSlamSession:
             scan = scan_from_ranges(ranges, beam_angles)
             obs, table = extract(carry.table, scan, filt.x, filt.n_active,
                                  sub, rp, ep.max_obs)
-            if ep.update_mode == "batched":
+            if self.update_path == "shard_map":
+                from .shard_update import measure_batched_shard_map
+                filt = _constrain(
+                    measure_batched_shard_map(filt, obs, u, ep, mesh), mesh)
+            elif ep.update_mode == "batched":
                 from ..models.batched import measure_batched
                 filt = _constrain(measure_batched(filt, obs, u, ep), mesh)
             else:

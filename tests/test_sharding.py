@@ -75,6 +75,76 @@ def test_covariance_stays_sharded():
     assert rows == {P.shape[0] // 8}
 
 
+def test_sharded_shard_map_path_matches_gspmd():
+    """update_path='shard_map' (explicit psum/all_gather Schur combine,
+    parallel/shard_update.py) must produce the same session results as the
+    GSPMD path AND the unsharded batched session — and keep P distributed."""
+    traj, _ = make_traj(T=20)
+    ep = EKFParams(capacity=16, max_obs=8, ref_compat=False,
+                   update_mode="batched", dtype=jnp.float64)
+    ref = SlamSession(ekf_params=ep, ransac_params=SIM_RANSAC, seed=5)
+    c_ref, o_ref = ref.run(traj.odom, traj.ranges, traj.beam_angles)
+
+    sh = ShardedSlamSession(mesh=make_mesh(), ekf_params=ep,
+                            ransac_params=SIM_RANSAC, seed=5,
+                            update_path="shard_map")
+    c_sh, o_sh = sh.run(traj.odom, traj.ranges, traj.beam_angles)
+
+    assert int(c_sh.filt.n_active) == int(c_ref.filt.n_active)
+    d = 3 + 2 * int(c_ref.filt.n_active)
+    np.testing.assert_allclose(np.asarray(c_sh.filt.x[:d]),
+                               np.asarray(c_ref.filt.x[:d]),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(c_sh.filt.P[:d, :d]),
+                               np.asarray(c_ref.filt.P[:d, :d]),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(o_sh.pose),
+                               np.asarray(o_ref.pose), atol=1e-8)
+    # still distributed row tiles
+    shards = c_sh.filt.P.addressable_shards
+    assert len(shards) == 8
+    assert {s.data.shape[0] for s in shards} == {c_sh.filt.P.shape[0] // 8}
+
+
+def test_masked_writes_bit_match_slice_forms():
+    """masked_writes=True (where-selected predict/append, the sharded
+    session's local form) must be BIT-identical to the scatter/slice
+    forms on identical inputs."""
+    import dataclasses
+    from ekf_slam_tpu.models import ekf
+    from test_ekf_core import make_pair
+
+    base = EKFParams(capacity=8, max_obs=4, ref_compat=False,
+                     dtype=jnp.float64)
+    masked = dataclasses.replace(base, masked_writes=True)
+    state, _ = make_pair(3, seed=9)
+    u = jnp.array([0.07, 4.0])
+
+    a = ekf.predict(state, u, base)
+    b = ekf.predict(state, u, masked)
+    np.testing.assert_array_equal(np.asarray(a.P), np.asarray(b.P))
+    np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
+
+    R2 = jnp.diag(jnp.array([0.2, 5.0]))
+    loc = jnp.array([1.5, -0.5])
+    aa = ekf.append(a, u, R2, loc, jnp.asarray(4.0), base)
+    bb = ekf.append(b, u, R2, loc, jnp.asarray(4.0), masked)
+    # the masked cross strip is a full-row contraction (padded jxr), so
+    # its summation order differs from the 3-term slice dot — round-off
+    # only, everything else bit-identical
+    np.testing.assert_allclose(np.asarray(aa.P), np.asarray(bb.P),
+                               rtol=1e-14, atol=1e-15)
+    np.testing.assert_array_equal(np.asarray(aa.x), np.asarray(bb.x))
+    assert int(bb.n_active) == int(aa.n_active) == 4
+
+
+def test_sharded_rejects_bad_update_path():
+    with pytest.raises(ValueError, match="update_path"):
+        ShardedSlamSession(mesh=make_mesh(),
+                           ekf_params=EKFParams(capacity=16),
+                           update_path="magic")
+
+
 def test_sharded_batched_mode_composes():
     """update_mode='batched' under covariance row-tiling: results match the
     unsharded batched session."""
