@@ -75,6 +75,20 @@ class EKFParams:
     #: quadratically cheaper per-update solve.  1 = single joint update.
     update_chunks: int = 1
 
+    #: how the batched update forms P·Hᵀ:
+    #:   'dense' — scatter Hᵀ into a dense [D,2M] operand and run the full
+    #:             D²·2M GEMM (round-1 design; no assumption on P);
+    #:   'rows'  — exploit P's symmetry: P·Hᵀ = (H·P)ᵀ needs only the 2M+3
+    #:             OBSERVED rows of P (pose rows + one contiguous row pair
+    #:             per gated landmark), gathered as whole rows.  Halves the
+    #:             chain's MXU flops and drops one full pass over P — the
+    #:             10k-landmark regime is compute-bound on exactly that
+    #:             GEMM.  Requires symmetric P, which the batched update
+    #:             preserves exactly in algebra (posterior = P − Z·S⁻¹·Zᵀ)
+    #:             and to fp round-off in practice; the sequential
+    #:             ref-compat path keeps 'dense' semantics.
+    pht_mode: str = "dense"
+
     #: failure detection (utils/faults.py): if set, a tick whose measurement
     #: phase moves the pose more than this many meters — or produces
     #: non-finite state / negative covariance — is rolled back and treated
@@ -125,6 +139,12 @@ class EKFParams:
     #: update path + gate; the sequential bit-parity path and srekf keep
     #: full-precision storage.
     cov_dtype: Any = None
+
+    def __post_init__(self):
+        if self.pht_mode not in ("dense", "rows"):
+            raise ValueError(f"unknown pht_mode {self.pht_mode!r}")
+        if self.update_mode not in ("sequential", "batched", "srekf"):
+            raise ValueError(f"unknown update_mode {self.update_mode!r}")
 
     @property
     def cov_dt(self):

@@ -92,6 +92,38 @@ def noise_block(Rs: jnp.ndarray, valid: jnp.ndarray, dt) -> jnp.ndarray:
     return Rblk
 
 
+def hp_from_rows(P: jnp.ndarray, x: jnp.ndarray, zs: jnp.ndarray,
+                 slots: jnp.ndarray, valid: jnp.ndarray, params: EKFParams,
+                 dt) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(HP [2M,D], nu [2M]) from the OBSERVED rows of a symmetric P.
+
+    H has 2M+3 nonzero columns, so H·P touches only P's pose rows and one
+    contiguous row pair per gated landmark — an [2M,D] row gather (rows
+    are contiguous in memory, unlike the strided columns that made the
+    naive P·Hᵀ gather catastrophic) plus tiny [2,2]/[2,3] contractions.
+    By symmetry P·Hᵀ = (H·P)ᵀ, so the full D²·2M GEMM of the dense path
+    disappears (params.pht_mode='rows')."""
+    D = x.shape[0]
+    M = zs.shape[0]
+    zhat, A, B = _innovation_blocks(x, slots, params)
+    vmask = valid.astype(dt)
+    A = A * vmask[:, None, None]                               # [M,2,3]
+    B = B * vmask[:, None, None]                               # [M,2,2]
+
+    nu = zs[:, :2].astype(dt) - zhat
+    if not params.ref_compat:
+        nu = nu.at[:, 1].set(wrap_to_180(nu[:, 1]))
+    nu = (nu * vmask[:, None]).reshape(2 * M)
+
+    rows = 3 + 2 * slots                                       # i32[M]
+    rp = (rows[:, None] + jnp.arange(2)[None, :]).reshape(-1)  # [2M]
+    Plm = jnp.take(P, rp, axis=0).reshape(M, 2, D).astype(dt)  # row gather
+    Ppose = P[:3].astype(dt)                                   # [3,D]
+    HP = (jnp.einsum("mij,jd->mid", A, Ppose)
+          + jnp.einsum("mij,mjd->mid", B, Plm)).reshape(2 * M, D)
+    return HP, nu
+
+
 def update_batch(state: FilterState, zs: jnp.ndarray, slots: jnp.ndarray,
                  Rs: jnp.ndarray, valid: jnp.ndarray, params: EKFParams
                  ) -> FilterState:
@@ -104,6 +136,11 @@ def update_batch(state: FilterState, zs: jnp.ndarray, slots: jnp.ndarray,
     P·Hᵀ and H·(P·Hᵀ) are plain MXU matmuls and P is streamed exactly
     twice (once for P·Hᵀ, once for the rank-2M correction).  TPU gathers
     of strided P columns were the previous bottleneck.
+
+    ``params.pht_mode='rows'`` replaces the P·Hᵀ GEMM with a row gather
+    using P's symmetry (see hp_from_rows) — half the MXU flops and one
+    fewer full pass over P; the correction GEMM (the irreducible dense
+    rank-2M write) is unchanged.
     """
     x, P = state.x, state.P
     # Mixed precision (params.cov_dtype=bf16): P is stored bf16 — halving
@@ -123,10 +160,17 @@ def update_batch(state: FilterState, zs: jnp.ndarray, slots: jnp.ndarray,
                               preferred_element_type=ct)
         return a @ b
 
-    Ht, nu = innovation_operator(x, zs, slots, valid, params, ct)
-
-    PHt = mm(P, Ht)                                            # [D,2M] MXU
-    S = Ht.T @ PHt                                             # [2M,2M] MXU
+    if params.pht_mode == "rows":
+        HP, nu = hp_from_rows(P, x, zs, slots, valid, params, ct)
+        PHt = HP.T                                             # symmetry
+        # S = H·(P·Hᵀ): HP's observed columns again — tiny [2M,2M] GEMM
+        # against the dense Hᵀ (cheap to build; D·(2M)² flops)
+        Ht, _ = innovation_operator(x, zs, slots, valid, params, ct)
+        S = HP @ Ht
+    else:
+        Ht, nu = innovation_operator(x, zs, slots, valid, params, ct)
+        PHt = mm(P, Ht)                                        # [D,2M] MXU
+        S = Ht.T @ PHt                                         # [2M,2M] MXU
     S = S + noise_block(Rs, valid, ct)
 
     # S is symmetric PSD (H·P·Hᵀ + R with identity blocks in masked slots).

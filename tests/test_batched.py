@@ -131,6 +131,57 @@ def test_measure_batched_jits_fixed_shape():
     assert int(out.n_active) == 2
 
 
+def test_update_batch_rows_mode_matches_dense():
+    """pht_mode='rows' (P·Hᵀ from the observed rows of a symmetric P)
+    must match the dense-Hᵀ GEMM path to fp round-off, including masked
+    lanes, and preserve symmetry."""
+    state, _ = make_pair(5, seed=17)
+    state = state._replace(P=0.5 * (state.P + state.P.T))
+    rng = np.random.default_rng(2)
+    zs, Rs = [], []
+    for slot in [0, 4, 2, 1]:
+        z = measurement_of(state, slot, noise=0.02, rng=rng)
+        zs.append(z)
+        Rs.append(np.diag([abs(z[0]) * 0.1, abs(z[1]) * 5.0]))
+    zs_j = jnp.asarray(np.stack(zs))
+    Rs_j = jnp.asarray(np.stack(Rs))
+    slots = jnp.asarray([0, 4, 2, 1])
+    valid = jnp.asarray([True, True, False, True])   # one masked lane
+
+    rows_p = dataclasses_replace(PARAMS, pht_mode="rows")
+    a = batched.update_batch(state, zs_j, slots, Rs_j, valid, PARAMS)
+    b = batched.update_batch(state, zs_j, slots, Rs_j, valid, rows_p)
+    np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x),
+                               rtol=1e-11, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(b.P), np.asarray(a.P),
+                               rtol=1e-9, atol=1e-12)
+    Pb = np.asarray(b.P)
+    assert np.max(np.abs(Pb - Pb.T)) < 1e-12
+
+
+def test_rows_mode_stays_symmetric_over_chain():
+    """The rows-mode posterior P − Z·S⁻¹·Zᵀ is symmetric in algebra; a
+    chain of updates must keep fp asymmetry at round-off level (the
+    invariant the mode relies on)."""
+    state, _ = make_pair(6, seed=23)
+    state = state._replace(P=0.5 * (state.P + state.P.T))
+    rows_p = dataclasses_replace(PARAMS, pht_mode="rows")
+    rng = np.random.default_rng(9)
+    for it in range(5):
+        zs, Rs, sl = [], [], []
+        for slot in rng.integers(0, 6, 3):
+            z = measurement_of(state, int(slot), noise=0.05, rng=rng)
+            zs.append(z)
+            Rs.append(np.diag([abs(z[0]) * 0.1, abs(z[1]) * 5.0]))
+            sl.append(int(slot))
+        state = batched.update_batch(
+            state, jnp.asarray(np.stack(zs)), jnp.asarray(sl),
+            jnp.asarray(np.stack(Rs)), jnp.ones(3, bool), rows_p)
+    P = np.asarray(state.P)
+    assert np.all(np.isfinite(P))
+    assert np.max(np.abs(P - P.T)) < 1e-11
+
+
 def test_update_chunked_matches_manual_chunks():
     """update_chunks=G equals applying update_batch to each chunk in
     sequence (the gate/linearization semantics are pinned by construction;
