@@ -29,6 +29,14 @@ def test_fleet_example(capsys):
     assert out.count("robot ") == 2
 
 
+def test_elastic_recovery_example(capsys):
+    run_example("elastic_recovery.py",
+                ["--ticks", "48", "--every", "16", "--die-at", "34",
+                 "--ckpt-dir", "/tmp/er_test"])
+    out = capsys.readouterr().out
+    assert "bit-continuous=True" in out
+
+
 def test_streaming_example(capsys):
     import json
     run_example("streaming_slam.py",
