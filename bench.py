@@ -53,18 +53,21 @@ N_ORACLE = 2      # oracle updates to time (each is seconds at 1k)
 
 
 def _defaults(K: int):
-    """(batch, chunks, n_batches) per landmark count.  At 1k the (2M)³
-    innovation solve dominates → chunk-256 scheduling, long scan to
-    amortize the dispatch floor; at 10k each batch is ~14-19 ms of
-    P-streaming (floor negligible) and long scans have wedged the remote
-    compiler."""
+    """(batch, chunks, n_batches, pht_mode) per landmark count.  At 1k the
+    (2M)³ innovation solve dominates → chunk-256 scheduling + dense P·Hᵀ,
+    long scan to amortize the dispatch floor; at 10k the chain is
+    compute-bound on the D²·2M GEMMs → pht_mode='rows' (symmetric
+    row-gather P·Hᵀ, models/batched.hp_from_rows: measured 46.5k vs 32.3k
+    up/s dense at M=512-1024) and short scans (long ones have wedged the
+    remote compiler)."""
     if K <= 2000:
-        batch, chunks, n_batches = 1024, 4, 256
+        batch, chunks, n_batches, pht = 1024, 4, 256, "dense"
     else:
-        batch, chunks, n_batches = 512, 1, 8
+        batch, chunks, n_batches, pht = 1024, 1, 8, "rows"
     batch = int(os.environ.get("BENCH_BATCH", batch))
     chunks = int(os.environ.get("BENCH_CHUNKS", chunks))
-    return batch, chunks, n_batches
+    pht = os.environ.get("BENCH_PHT", pht)
+    return batch, chunks, n_batches, pht
 
 
 def make_full_state(params: EKFParams, K: int, seed=0) -> FilterState:
@@ -140,8 +143,9 @@ def sequential_updates_per_sec(K: int) -> float:
 
 
 def batched_updates_per_sec(K: int) -> float:
-    batch, chunks, n_batches = _defaults(K)
-    params = _params(K, chunks)
+    import dataclasses
+    batch, chunks, n_batches, pht = _defaults(K)
+    params = dataclasses.replace(_params(K, chunks), pht_mode=pht)
     state = make_full_state(params, K)
     zs_all = jnp.asarray(
         make_measurements(state, K, n_batches * batch).reshape(
@@ -161,8 +165,8 @@ def batched_updates_per_sec(K: int) -> float:
 
     run = jax.jit(lambda st, zb: jax.lax.scan(one_batch, st, zb)[0])
     ups = (n_batches * batch) / _time(run, state, zs_all)
-    print(f"[bench] batched (M={batch}, G={chunks}): {ups:.1f} updates/s "
-          f"@ {K} landmarks", file=sys.stderr)
+    print(f"[bench] batched (M={batch}, G={chunks}, pht={pht}): "
+          f"{ups:.1f} updates/s @ {K} landmarks", file=sys.stderr)
     return ups
 
 

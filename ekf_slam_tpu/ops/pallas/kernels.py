@@ -7,8 +7,12 @@ kernels"):
 * ``cov_update``: the rank-2M covariance correction ``P ← P − K·V`` — the
   single dominant data movement of the filter (P is 1.6 GB at 10k landmarks
   in f32).  Tiled over (row, col) blocks with the P buffer aliased in-place,
-  so each element of P is read and written exactly once per tick: the
-  speed-of-light schedule for this op.
+  so each element of P is read and written exactly once.  Measured on chip
+  (experiments/chip_r2.py, BENCH r2): the full gate+update chain with this
+  kernel is EQUAL to the XLA path at 1k (423k vs 417k up/s) and 12% SLOWER
+  at 10k (28.5k vs 32.4k) — XLA's fused GEMM epilogue already achieves the
+  one-read-one-write schedule and overlaps it with the gate.  Kept behind
+  ``EKFParams.use_pallas`` as a measured experiment, not a default.
 * ``score_lines``: RANSAC hypothesis scoring — point-line distance +
   threshold + masked popcount for NH candidate lines × B beams in one fused
   pass (the reference evaluates this per point, per line, in an interpreted
