@@ -148,7 +148,11 @@ class StreamingSlamSession:
         outs, arrivals = self._pending[0]
         if not block and not _is_ready(outs.pose):
             return False
-        jax.block_until_ready(outs.pose)
+        # ONE host transfer per window, sliced in numpy: per-tick device
+        # slicing (outs.pose[i] etc.) would dispatch a tiny device program
+        # per leaf per tick — each paying a share of the fixed dispatch
+        # floor the windowing exists to amortize.
+        outs = jax.device_get(outs)
         done = time.perf_counter()
         self._pending.pop(0)
         self.stats.t_last_done = done
@@ -161,7 +165,7 @@ class StreamingSlamSession:
             save_checkpoint(self.checkpoint_dir, self.carry,
                             step=self.stats.n_ticks)
         self._ready.extend(
-            jax.tree_util.tree_map(lambda a: a[i], outs)
+            jax.tree_util.tree_map(lambda a: np.asarray(a)[i], outs)
             for i in range(len(arrivals)))
         return True
 
