@@ -57,6 +57,8 @@ def run_with_checkpoints(session, odom, ranges, beam_angles, ckpt_dir: str,
             n_beams=(ranges.shape[1]
                      if session.control_source in ("icp", "fused")
                      else None))
+    if start_tick >= T:        # snapshot already covers the whole stream
+        return carry, jnp.zeros((0, 3)), start_tick
     poses = []
     t = start_tick
     while t < T:

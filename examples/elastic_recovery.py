@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--ckpt-dir", default="/tmp/slam_ckpt")
     args = ap.parse_args()
 
+    import shutil
+    for d in (args.ckpt_dir, args.ckpt_dir + "_ref"):
+        shutil.rmtree(d, ignore_errors=True)   # stale snapshots from a
+        # previous demo would otherwise resume past the crash point
+
     import jax
     import jax.numpy as jnp
     from ekf_slam_tpu.config import EKFParams, RansacParams, SimConfig
