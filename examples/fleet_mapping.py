@@ -56,6 +56,24 @@ def main():
         print(f"robot {i}: {int(carry.filt.n_active[i])} landmarks, "
               f"ATE {ate:.3f} m")
 
+    # fuse the robots' local maps into one global frame: ICP scan-match
+    # alignment between robots + pose-graph optimization
+    # (parallel/fleet_merge.py).  All robots here started at the origin, so
+    # the deployment guesses are exact — the merge demonstrates the dedup
+    # and the pipeline; see tests/test_fleet_merge.py for displaced starts.
+    from ekf_slam_tpu.parallel.fleet_merge import (merge_maps,
+                                                   robot_map_from_carry)
+    maps = []
+    for i in range(args.robots):
+        ci = jax.tree_util.tree_map(lambda a, i=i: a[i], carry)
+        maps.append(robot_map_from_carry(
+            ci, np.asarray(trajs[i].ranges[0]), beams,
+            anchor_guess=np.zeros(3)))
+    res = merge_maps(maps, icp_min_inliers=60, icp_max_rmse=0.25)
+    print(f"merged map: {res.landmarks.shape[0]} landmarks "
+          f"(from {res.n_before_merge} across {args.robots} robots, "
+          f"{res.n_icp_edges} scan-match alignments)")
+
 
 if __name__ == "__main__":
     main()
