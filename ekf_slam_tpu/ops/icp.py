@@ -13,9 +13,8 @@ atan2(Σ cross, Σ dot) of the centered correspondence pairs).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

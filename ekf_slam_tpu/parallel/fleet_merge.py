@@ -22,7 +22,7 @@ filtering stays on-device in the fleet program.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, NamedTuple, Optional, Sequence
+from typing import List, NamedTuple, Sequence
 
 import jax.numpy as jnp
 import numpy as np

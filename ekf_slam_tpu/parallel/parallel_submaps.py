@@ -38,7 +38,7 @@ from jax.sharding import Mesh
 
 from ..ops.scan import scan_from_ranges, scan_to_world
 from .multi import FleetSlamSession
-from .submaps import Submap, SubmapSlam, compose
+from .submaps import SubmapSlam, compose
 
 
 @dataclasses.dataclass

@@ -23,11 +23,9 @@ EKF analog of sequence-parallel attention's collective footprint.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import EKFParams
 from ..models.batched import _innovation_blocks

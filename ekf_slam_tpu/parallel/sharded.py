@@ -35,7 +35,7 @@ from ..ops.angles import angdiff_deg
 from ..ops.ransac import extract, init_table
 from ..ops.scan import scan_from_ranges
 from ..session import SessionCarry, StepOutput
-from ..state import FilterState, init_state, round_up
+from ..state import FilterState, init_state
 
 
 def _constrain(filt: FilterState, mesh: Mesh) -> FilterState:

@@ -27,14 +27,12 @@ DCN).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import EKFParams, RansacParams
-from ..ops.angles import cosd, sind, wrap_to_360
 from ..session import SessionCarry, SlamSession
 from . import posegraph as pg
 

@@ -13,18 +13,18 @@ reference's string-dispatch pattern (SLAM.m:26, Landmark.m:14-21).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from .config import (ASSOC_KNOWN, ASSOC_SIGNATURE, EKFParams, RansacParams,
-                     ref_compat_known, ref_compat_uc)
+from .config import (EKFParams, RansacParams, ref_compat_known,
+                     ref_compat_uc)
 from .models import ekf
 from .ops.angles import angdiff_deg, cosd, sind
 from .ops.observations import ObsBatch
 from .ops.ransac import LandmarkTable, extract, init_table
-from .ops.scan import Scan, scan_from_ranges
+from .ops.scan import scan_from_ranges
 from .state import FilterState, init_state
 
 # ---------------------------------------------------------------------------

@@ -25,7 +25,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from . import checkpointing as ckpt
