@@ -244,6 +244,47 @@ def frames_per_sec() -> float:
     return fps
 
 
+def stream_ticks_per_sec() -> float:
+    """Live streaming throughput: ticks pushed one at a time through
+    window-16 micro-batches with async dispatch (io/stream.py) — the
+    reference's operating mode (test_SLAM.m:16-18), floor-amortized."""
+    from ekf_slam_tpu.config import RansacParams, SimConfig
+    from ekf_slam_tpu.io.stream import StreamingSlamSession
+    from ekf_slam_tpu.session import SlamSession
+    from ekf_slam_tpu.sim import world as W
+
+    T, B, WIN = 128, 720, 16
+    cfg = SimConfig(n_beams=B, max_range=12.0)
+    room = W.rectangle_room(4.0, 3.0)
+    traj = W.simulate(room, W.circle_controls(T, 0.05, 3.0), cfg,
+                      jax.random.PRNGKey(0))
+    odom = np.asarray(traj.odom)
+    rng = np.asarray(traj.ranges)
+    session = SlamSession(
+        ekf_params=EKFParams(capacity=64, max_obs=8, ref_compat=False,
+                             update_mode="batched", dtype=jnp.float32),
+        ransac_params=RansacParams(
+            line_consensus=60, bearing_window_deg=15.0,
+            wall_search_timeout=4, table_capacity=64, promote_count=5,
+            ref_compat=False, n_hypotheses=64, dtype=jnp.float32),
+        seed=1)
+
+    def run_once():
+        stream = StreamingSlamSession(session, n_beams=B,
+                                      beam_angles=traj.beam_angles,
+                                      window=WIN, first_odom=odom[0])
+        for t in range(T):
+            stream.push(odom[t], rng[t])
+        stream.flush()
+        return stream.stats.summary()
+
+    run_once()                     # compile off the clock
+    s = run_once()
+    print(f"[bench] streaming (window {WIN}): {s['ticks_per_sec']:.1f} "
+          f"ticks/s, p99 {s['latency_p99_ms']:.0f} ms", file=sys.stderr)
+    return s["ticks_per_sec"]
+
+
 def main():
     plat = jax.devices()[0].platform
     print(f"[bench] platform: {plat}", file=sys.stderr)
@@ -255,6 +296,8 @@ def main():
 
     if run_frames:
         extra["frames_per_sec"] = round(frames_per_sec(), 1)
+        if os.environ.get("BENCH_STREAM", "1") == "1":
+            extra["stream_ticks_per_sec"] = round(stream_ticks_per_sec(), 1)
 
     orc_1k = _oracle_at(1000)
     print(f"[bench] numpy oracle @1k: {orc_1k:.3f} updates/s",

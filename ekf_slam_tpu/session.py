@@ -99,6 +99,16 @@ class SlamSession:
     #: inlier pairs and at most this RMS residual.
     icp_min_inliers: int = 30
     icp_max_rmse: float = 0.25
+    #: map lifecycle (models/maintenance.py), run after each tick's
+    #: measurement phase when enabled: merge near-duplicate landmarks
+    #: within this radius (0 = off) …
+    maintain_merge_radius: float = 0.0
+    #: … and evict landmarks whose 2×2 covariance trace exceeds this
+    #: (0 = off).  Eviction is exact marginalization + slot compaction —
+    #: capacity gets reused instead of filling up forever (the reference
+    #: map only ever grows).  Costs ~one extra P pass per tick; intended
+    #: for bounded-capacity long-running sessions.
+    maintain_max_trace: float = 0.0
 
     def __post_init__(self):
         if self.algorithm not in ALGORITHMS:
@@ -235,6 +245,16 @@ class SlamSession:
                 from .utils.faults import guarded
                 filt, _ = guarded(pre_measure, filt, ep.guard_max_jump,
                                   factored=ep.update_mode == "srekf")
+            if (self.maintain_merge_radius > 0
+                    or self.maintain_max_trace > 0):
+                if ep.update_mode == "srekf":
+                    raise NotImplementedError(
+                        "map maintenance operates on the dense covariance; "
+                        "srekf sessions are not supported yet")
+                from .models.maintenance import maintain
+                filt, _ = maintain(filt, ep,
+                                   merge_radius=self.maintain_merge_radius,
+                                   max_trace=self.maintain_max_trace)
 
             out = StepOutput(pose=filt.x[:3],
                              n_active=filt.n_active,
