@@ -63,7 +63,11 @@ def _defaults(K: int):
     if K <= 2000:
         batch, chunks, n_batches, pht = 1024, 4, 256, "dense"
     else:
-        batch, chunks, n_batches, pht = 1024, 1, 8, "rows"
+        # chunk-512 scheduling now wins at 10k too: rows mode removed the
+        # P·Hᵀ GEMM, so the quadratic S/solve/Kg terms matter again and
+        # G chunks cut them 4x (measured 59.7k vs 46.5k up/s at M=2048/G=4
+        # vs M=1024/G=1; 65.3k with bf16 P at M=4096/G=8).
+        batch, chunks, n_batches, pht = 2048, 4, 8, "rows"
     batch = int(os.environ.get("BENCH_BATCH", batch))
     chunks = int(os.environ.get("BENCH_CHUNKS", chunks))
     pht = os.environ.get("BENCH_PHT", pht)

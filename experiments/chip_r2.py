@@ -110,6 +110,19 @@ def stage_rows():
              "timed_s": round(dt, 3)})
 
 
+def stage_rows_chunks():
+    """rows × chunking interaction at 10k: chunking halves the quadratic
+    S/solve/Kg terms while the correction-GEMM flops stay constant."""
+    for batch, chunks, cdt, tag in ((1024, 2, None, "f32"),
+                                    (1536, 1, None, "f32"),
+                                    (1024, 2, jnp.bfloat16, "bf16")):
+        ups, dt = chain_updates_per_sec(10000, batch, 8, chunks=chunks,
+                                        cov_dtype=cdt, pht_mode="rows")
+        log({"stage": "rows_chunks_10k", "M": batch, "chunks": chunks,
+             "cov_dtype": tag, "updates_per_sec": round(ups, 1),
+             "timed_s": round(dt, 3)})
+
+
 def stage_rows_1k():
     for pm in ("dense", "rows"):
         ups, dt = chain_updates_per_sec(1000, 1024, 256, chunks=4,
@@ -126,6 +139,7 @@ STAGES = {
     "msweep_10k": stage_msweep,
     "rows_10k": stage_rows,
     "rows_1k": stage_rows_1k,
+    "rows_chunks_10k": stage_rows_chunks,
 }
 
 
