@@ -53,24 +53,17 @@ N_ORACLE = 2      # oracle updates to time (each is seconds at 1k)
 
 
 def _defaults(K: int):
-    """(batch, chunks, n_batches, pht_mode) per landmark count.  At 1k the
-    (2M)³ innovation solve dominates → chunk-256 scheduling + dense P·Hᵀ,
-    long scan to amortize the dispatch floor; at 10k the chain is
-    compute-bound on the D²·2M GEMMs → pht_mode='rows' (symmetric
-    row-gather P·Hᵀ, models/batched.hp_from_rows: measured 46.5k vs 32.3k
-    up/s dense at M=512-1024) and short scans (long ones have wedged the
+    """(batch, chunks, n_batches, pht_mode) per landmark count — the
+    measured-fastest schedule (ekf_slam_tpu/utils/schedule.py, provenance
+    in BASELINE.md).  Long scans at 1k amortize the dispatch floor; short
+    at 10k (each batch is tens of ms and long scans have wedged the
     remote compiler)."""
-    if K <= 2000:
-        batch, chunks, n_batches, pht = 1024, 4, 256, "dense"
-    else:
-        # chunk-512 scheduling now wins at 10k too: rows mode removed the
-        # P·Hᵀ GEMM, so the quadratic S/solve/Kg terms matter again and
-        # G chunks cut them 4x (measured 59.7k vs 46.5k up/s at M=2048/G=4
-        # vs M=1024/G=1; 65.3k with bf16 P at M=4096/G=8).
-        batch, chunks, n_batches, pht = 2048, 4, 8, "rows"
-    batch = int(os.environ.get("BENCH_BATCH", batch))
-    chunks = int(os.environ.get("BENCH_CHUNKS", chunks))
-    pht = os.environ.get("BENCH_PHT", pht)
+    from ekf_slam_tpu.utils.schedule import recommended_schedule
+    s = recommended_schedule(K)
+    n_batches = 256 if K <= 2000 else 8
+    batch = int(os.environ.get("BENCH_BATCH", s["batch"]))
+    chunks = int(os.environ.get("BENCH_CHUNKS", s["update_chunks"]))
+    pht = os.environ.get("BENCH_PHT", s["pht_mode"])
     return batch, chunks, n_batches, pht
 
 

@@ -82,7 +82,11 @@ def duplicate_mask(state: FilterState, radius: float) -> jnp.ndarray:
 
     "Worse" = larger covariance trace (the later/noisier duplicate); among
     equals the higher slot is dropped, so the original observation
-    survives.  Returns bool[K]."""
+    survives.  Returns bool[K].
+
+    Cost: the [K,K] proximity matrix — fine up to a few thousand
+    landmarks; at 10k it is a 100 MB bool plane, so run duplicate checks
+    occasionally (host-driven) rather than per tick at that scale."""
     K = state.capacity
     lm = state.landmarks                                        # [K,2]
     act = state.active
