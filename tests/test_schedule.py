@@ -21,5 +21,5 @@ def test_tuned_params_applies_knobs():
     p = tuned_params(EKFParams(capacity=10000, dtype=jnp.float32))
     assert p.pht_mode == "rows" and p.update_chunks == 4
     q = tuned_params(EKFParams(capacity=128))
-    assert q.pht_mode == "dense" and q.update_chunks == 4
+    assert q.pht_mode == "dense" and q.update_chunks == 8
     assert q.capacity == 128
