@@ -169,6 +169,11 @@ class StreamingSlamSession:
             for i in range(len(arrivals)))
         return True
 
+    def reset_stats(self) -> None:
+        """Restart latency/throughput accounting (e.g. after a warm-up
+        pass whose compile time is not a latency statement)."""
+        self.stats = StreamStats()
+
     def poll(self, block: bool = False) -> List[Any]:
         """Collect completed per-tick outputs (non-blocking by default)."""
         while self._drain_one(block=block):

@@ -80,7 +80,7 @@ def main():
     for t in range(warm):
         stream.push(odom[t], ranges[t])
     stream.flush()
-    stream.stats.__init__()
+    stream.reset_stats()
     stream.carry = session.init_carry(first_odom=odom[0])
 
     period = 1.0 / args.rate_hz if args.rate_hz > 0 else 0.0
