@@ -293,7 +293,10 @@ def main():
 
     if run_frames:
         extra["frames_per_sec"] = round(frames_per_sec(), 1)
-        if os.environ.get("BENCH_STREAM", "1") == "1":
+        # opt-in: the streaming program's remote compile has minutes-scale
+        # variance through the tunnel; chip numbers are recorded in
+        # BASELINE.md + experiments/results/ (496 ticks/s, window 16)
+        if os.environ.get("BENCH_STREAM", "0") == "1":
             extra["stream_ticks_per_sec"] = round(stream_ticks_per_sec(), 1)
 
     orc_1k = _oracle_at(1000)
