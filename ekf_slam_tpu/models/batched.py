@@ -94,15 +94,18 @@ def noise_block(Rs: jnp.ndarray, valid: jnp.ndarray, dt) -> jnp.ndarray:
 
 def hp_from_rows(P: jnp.ndarray, x: jnp.ndarray, zs: jnp.ndarray,
                  slots: jnp.ndarray, valid: jnp.ndarray, params: EKFParams,
-                 dt) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(HP [2M,D], nu [2M]) from the OBSERVED rows of a symmetric P.
+                 dt) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(HP [2M,D], Ht [D,2M], nu [2M]) from the OBSERVED rows of a
+    symmetric P.
 
     H has 2M+3 nonzero columns, so H·P touches only P's pose rows and one
     contiguous row pair per gated landmark — an [2M,D] row gather (rows
     are contiguous in memory, unlike the strided columns that made the
     naive P·Hᵀ gather catastrophic) plus tiny [2,2]/[2,3] contractions.
     By symmetry P·Hᵀ = (H·P)ᵀ, so the full D²·2M GEMM of the dense path
-    disappears (params.pht_mode='rows')."""
+    disappears (params.pht_mode='rows').  The dense Ht (cheap scatter
+    build, needed for S = HP·Ht) is returned so the caller shares the
+    masked Jacobian blocks."""
     D = x.shape[0]
     M = zs.shape[0]
     zhat, A, B = _innovation_blocks(x, slots, params)
@@ -121,7 +124,16 @@ def hp_from_rows(P: jnp.ndarray, x: jnp.ndarray, zs: jnp.ndarray,
     Ppose = P[:3].astype(dt)                                   # [3,D]
     HP = (jnp.einsum("mij,jd->mid", A, Ppose)
           + jnp.einsum("mij,mjd->mid", B, Plm)).reshape(2 * M, D)
-    return HP, nu
+
+    # dense Ht for the S GEMM (same scatter as innovation_operator)
+    midx = jnp.arange(M)
+    Ht = jnp.zeros((D, 2 * M), dt)
+    Ht = Ht.at[0:3, :].set(A.transpose(2, 0, 1).reshape(3, 2 * M))
+    rowpair = rows[:, None] + jnp.arange(2)[None, :]
+    colpair = 2 * midx[:, None] + jnp.arange(2)[None, :]
+    Ht = Ht.at[rowpair[:, :, None], colpair[:, None, :]].add(
+        B.transpose(0, 2, 1))
+    return HP, Ht, nu
 
 
 def update_batch(state: FilterState, zs: jnp.ndarray, slots: jnp.ndarray,
@@ -161,11 +173,9 @@ def update_batch(state: FilterState, zs: jnp.ndarray, slots: jnp.ndarray,
         return a @ b
 
     if params.pht_mode == "rows":
-        HP, nu = hp_from_rows(P, x, zs, slots, valid, params, ct)
+        HP, Ht, nu = hp_from_rows(P, x, zs, slots, valid, params, ct)
         PHt = HP.T                                             # symmetry
-        # S = H·(P·Hᵀ): HP's observed columns again — tiny [2M,2M] GEMM
-        # against the dense Hᵀ (cheap to build; D·(2M)² flops)
-        Ht, _ = innovation_operator(x, zs, slots, valid, params, ct)
+        # S = H·(P·Hᵀ): a D·(2M)² GEMM against the (cheap) dense Hᵀ
         S = HP @ Ht
     else:
         Ht, nu = innovation_operator(x, zs, slots, valid, params, ct)
