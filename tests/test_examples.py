@@ -29,6 +29,18 @@ def test_fleet_example(capsys):
     assert out.count("robot ") == 2
 
 
+def test_minimal_filter_example(capsys):
+    run_example("minimal_filter.py", [])
+    out = capsys.readouterr().out
+    assert "landmarks" in out and "pose error" in out
+
+
+def test_legacy_pipeline_example(capsys):
+    run_example("legacy_pipeline.py", [])
+    out = capsys.readouterr().out
+    assert "final pose est" in out
+
+
 def test_elastic_recovery_example(capsys):
     run_example("elastic_recovery.py",
                 ["--ticks", "48", "--every", "16", "--die-at", "34",
