@@ -106,6 +106,28 @@ def test_sharded_shard_map_path_matches_gspmd():
     assert {s.data.shape[0] for s in shards} == {c_sh.filt.P.shape[0] // 8}
 
 
+def test_sharded_rows_mode_composes():
+    """pht_mode='rows' (whole-row gathers of a row-sharded P) under the
+    sharded session: matches the unsharded rows-mode session and keeps P
+    distributed — the combination utils/schedule.tuned_params produces
+    for large maps."""
+    traj, _ = make_traj(T=15)
+    ep = EKFParams(capacity=16, max_obs=8, ref_compat=False,
+                   update_mode="batched", pht_mode="rows",
+                   dtype=jnp.float64)
+    ref = SlamSession(ekf_params=ep, ransac_params=SIM_RANSAC, seed=5)
+    c0, _ = ref.run(traj.odom, traj.ranges, traj.beam_angles)
+    sh = ShardedSlamSession(mesh=make_mesh(), ekf_params=ep,
+                            ransac_params=SIM_RANSAC, seed=5)
+    c1, _ = sh.run(traj.odom, traj.ranges, traj.beam_angles)
+    assert int(c1.filt.n_active) == int(c0.filt.n_active)
+    d = 3 + 2 * int(c0.filt.n_active)
+    np.testing.assert_allclose(np.asarray(c1.filt.x[:d]),
+                               np.asarray(c0.filt.x[:d]),
+                               rtol=1e-9, atol=1e-11)
+    assert len(c1.filt.P.addressable_shards) == 8
+
+
 def test_masked_writes_bit_match_slice_forms():
     """masked_writes=True (where-selected predict/append, the sharded
     session's local form) must be BIT-identical to the scatter/slice
