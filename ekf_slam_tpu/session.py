@@ -127,6 +127,11 @@ class SlamSession:
             self.ekf_params = ALGORITHMS[self.algorithm]()
         if self.ransac_params is None:
             self.ransac_params = RansacParams(dtype=self.ekf_params.dtype)
+        if ((self.maintain_merge_radius > 0 or self.maintain_max_trace > 0)
+                and self.ekf_params.update_mode == "srekf"):
+            raise NotImplementedError(
+                "map maintenance operates on the dense covariance; "
+                "srekf sessions are not supported yet")
         self._init_table, self._extract = EXTRACTORS[self.extractor]
         step = self._make_step()
         self._step = jax.jit(step)
@@ -247,10 +252,7 @@ class SlamSession:
                                   factored=ep.update_mode == "srekf")
             if (self.maintain_merge_radius > 0
                     or self.maintain_max_trace > 0):
-                if ep.update_mode == "srekf":
-                    raise NotImplementedError(
-                        "map maintenance operates on the dense covariance; "
-                        "srekf sessions are not supported yet")
+                # srekf rejected at construction (__post_init__)
                 from .models.maintenance import maintain
                 filt, _ = maintain(filt, ep,
                                    merge_radius=self.maintain_merge_radius,

@@ -98,6 +98,26 @@ def test_session_with_maintenance_tracks_and_bounds_map():
     assert act[:n].all() and not act[n:].any()
 
 
+def test_session_maintenance_rejects_srekf():
+    """Maintenance permutes the dense covariance; the factored state is
+    explicitly unsupported (clear error, not silent corruption)."""
+    import pytest
+    from ekf_slam_tpu.session import SlamSession
+    with pytest.raises(NotImplementedError, match="maintenance"):
+        sess = SlamSession(
+            ekf_params=EKFParams(capacity=8, max_obs=4, ref_compat=False,
+                                 update_mode="srekf", dtype=jnp.float64),
+            maintain_max_trace=10.0)
+
+
+def test_evict_nothing_is_identity():
+    state, _ = make_pair(4, seed=3)
+    out = M.evict_landmarks(state, jnp.zeros(8, bool), PARAMS)
+    np.testing.assert_array_equal(np.asarray(out.x), np.asarray(state.x))
+    np.testing.assert_array_equal(np.asarray(out.P), np.asarray(state.P))
+    assert int(out.n_active) == 4
+
+
 def test_prune_by_uncertainty_and_maintain():
     state, _ = make_pair(4, seed=13)
     r = 3 + 4                      # slot 2
