@@ -1,0 +1,247 @@
+"""Fast square-root EKF-SLAM: the O(M·D²) GEMM-only update path.
+
+``models/srekf.py`` keeps the factor lower-triangular by QR-ing a
+(2M+D)×(2M+D) pre-array every update — O((2M+D)³) Householder work that
+XLA's TPU QR executes at a tiny fraction of MXU peak.  At the 10k-landmark
+scale (D ≈ 20k, 2M = 4096) that is ~2·10¹³ badly-scheduled FLOPs per tick:
+the square-root option existed but was unusable exactly where f32
+conditioning needs it most (CLAUDE.md round-3 roadmap; the dense update it
+guards is the reference's (I−KH)·P at EKF_SLAM_UC.m:142-146).
+
+This module drops the triangularity invariant instead of the cost:
+
+* the factor ``S`` is a **general** D×D square root, P = S·Sᵀ — still PSD
+  by construction (any real S is a factor of a PSD matrix, no matter how
+  it is rounded), which is the property the square-root form is for;
+* the measurement update is the closed-form Andrews/Potter family update
+  (Andrews 1968): with HS = H·S (built from OBSERVED rows of S — the same
+  row-gather trick as the dense path's ``pht_mode='rows'``),
+
+      S_m = HS·HSᵀ + R,      C = chol(S_m)          (innovation factor)
+      G   = C⁻¹·HS,          W = C⁻¹·chol(R)
+      S'  = S − (S·Gᵀ)·(I+W)⁻¹·G,   x' = x + (S·Gᵀ)·(C⁻¹ν)
+
+  The identity (I+W)⁻¹ + (I+W)⁻ᵀ − (I+W)⁻¹(I − W·Wᵀ)(I+W)⁻ᵀ = S_m-free
+  algebra below) makes S'·S'ᵀ = P − P·Hᵀ·S_m⁻¹·H·P exactly — the Kalman
+  posterior — using only two [D,D]×[D,2M] GEMMs, one [2M,2M] Cholesky and
+  three triangular solves: every FLOP lands on the MXU.
+* process noise is rank-1 per tick (c·w·wᵀ, EKF_SLAM.m:40-51), so predict
+  absorbs it **exactly in O(D)** by writing √c·w into a spare zero column
+  of S: S' = S + (√c·w)·e_cᵀ has S'S'ᵀ = SSᵀ + c·w·wᵀ whenever column c of
+  S is zero.  Spare columns come from padding D by ``sr_noise_buffer``
+  extra dims (init_state(extra_dims=...)); one is consumed per predict and
+  all are reclaimed by a periodic ``sr_recompress`` (dense P = SSᵀ via one
+  D³ GEMM + one Cholesky — both MXU-efficient, amortized over the buffer
+  period, unlike the per-tick QR it replaces).
+
+Invariant (checked in tests/test_srekf_fast.py): inactive-slot ROWS and
+COLUMNS of S stay exactly zero through predict/update/append, so masked
+lanes remain no-ops and ``sr_append``'s O(D) slot write stays valid for
+the general factor (a fresh slot's columns are untouched zeros).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import ASSOC_KNOWN, EKFParams
+from ..ops.angles import cosd, sind, wrap_to_180, wrap_to_360
+from ..ops.observations import ObsBatch
+from ..state import FilterState
+from . import ekf
+from .batched import _innovation_blocks
+from .srekf import factor_from_state, sr_append, sr_strips, state_to_dense
+
+
+# ---------------------------------------------------------------------------
+# H·S from observed rows (the factor-space analog of batched.hp_from_rows)
+# ---------------------------------------------------------------------------
+
+def _hs_rows(S: jnp.ndarray, x: jnp.ndarray, zs: jnp.ndarray,
+             slots: jnp.ndarray, valid: jnp.ndarray, params: EKFParams,
+             dt) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(H·S [2M,D], ν [2M]) touching only S's pose rows and one contiguous
+    row pair per gated landmark — no dense H is ever materialized."""
+    D = x.shape[0]
+    M = zs.shape[0]
+    zhat, A, B = _innovation_blocks(x, slots, params)
+    vmask = valid.astype(dt)
+    A = A * vmask[:, None, None]                               # [M,2,3]
+    B = B * vmask[:, None, None]                               # [M,2,2]
+
+    nu = zs[:, :2].astype(dt) - zhat
+    if not params.ref_compat:
+        nu = nu.at[:, 1].set(wrap_to_180(nu[:, 1]))
+    nu = (nu * vmask[:, None]).reshape(2 * M)
+
+    rows = 3 + 2 * slots                                       # i32[M]
+    rp = (rows[:, None] + jnp.arange(2)[None, :]).reshape(-1)  # [2M]
+    Slm = jnp.take(S, rp, axis=0).reshape(M, 2, D).astype(dt)
+    Spose = S[:3].astype(dt)                                   # [3,D]
+    HS = (jnp.einsum("mij,jd->mid", A, Spose)
+          + jnp.einsum("mij,mjd->mid", B, Slm)).reshape(2 * M, D)
+    return HS, nu
+
+
+def _sqrt_noise_block(Rs: jnp.ndarray, valid: jnp.ndarray, dt) -> jnp.ndarray:
+    """Lower-Cholesky of the block-diagonal measurement noise, built from
+    the closed-form 2×2 factors (masked slots get identity blocks, matching
+    batched.noise_block)."""
+    M = Rs.shape[0]
+    tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
+    r00 = jnp.where(valid, Rs[:, 0, 0].astype(dt), 1.0)
+    r10 = jnp.where(valid, Rs[:, 1, 0].astype(dt), 0.0)
+    r11 = jnp.where(valid, Rs[:, 1, 1].astype(dt), 1.0)
+    l00 = jnp.sqrt(jnp.maximum(r00, tiny))
+    l10 = r10 / l00
+    l11 = jnp.sqrt(jnp.maximum(r11 - l10 * l10, tiny))
+    idx = jnp.arange(M)
+    sqR = jnp.zeros((2 * M, 2 * M), dt)
+    sqR = sqR.at[2 * idx, 2 * idx].set(l00)
+    sqR = sqR.at[2 * idx + 1, 2 * idx].set(l10)
+    sqR = sqR.at[2 * idx + 1, 2 * idx + 1].set(l11)
+    return sqR
+
+
+# ---------------------------------------------------------------------------
+# Measurement update (Andrews closed form — no QR)
+# ---------------------------------------------------------------------------
+
+def sr_update_andrews(state: FilterState, zs: jnp.ndarray, slots: jnp.ndarray,
+                      Rs: jnp.ndarray, valid: jnp.ndarray, params: EKFParams
+                      ) -> FilterState:
+    """Joint square-root update of M observations in O(M·D²) MXU work.
+
+    Exactness: with B = S·Gᵀ·α·G for α = (I+W)⁻¹ the posterior gram is
+
+      S'S'ᵀ = P − S·Gᵀ(α + αᵀ − α(I − W·Wᵀ)αᵀ)G·Sᵀ
+            = P − S·Gᵀ·G·Sᵀ·…  since (I+W)(I+Wᵀ) = I + W + Wᵀ + WWᵀ
+      ⇒ α + αᵀ − α(I − WWᵀ)αᵀ = I  ⇒  S'S'ᵀ = P − PHᵀS_m⁻¹HP,
+
+    the exact Kalman posterior (same math the QR pre-array encodes,
+    srekf.sr_update_batch; reference dense form EKF_SLAM_UC.m:142-146)."""
+    x, S = state.x, state.P
+    D = x.shape[0]
+    M = zs.shape[0]
+    dt = S.dtype
+
+    HS, nu = _hs_rows(S, x, zs, slots, valid, params, dt)      # [2M,D]
+    sqR = _sqrt_noise_block(Rs, valid, dt)                     # [2M,2M]
+
+    Sm = HS @ HS.T
+    # exact block-diagonal R = sqR·sqRᵀ added without a second GEMM
+    idx = jnp.arange(M)
+    d0, d1 = 2 * idx, 2 * idx + 1
+    Sm = Sm.at[d0, d0].add(sqR[d0, d0] ** 2)
+    Sm = Sm.at[d1, d0].add(sqR[d1, d0] * sqR[d0, d0])
+    Sm = Sm.at[d0, d1].add(sqR[d1, d0] * sqR[d0, d0])
+    Sm = Sm.at[d1, d1].add(sqR[d1, d0] ** 2 + sqR[d1, d1] ** 2)
+
+    C = jnp.linalg.cholesky(Sm)                                # lower
+    G = jax.scipy.linalg.solve_triangular(C, HS, lower=True)   # [2M,D]
+    W = jax.scipy.linalg.solve_triangular(C, sqR, lower=True)  # [2M,2M]
+    y = jax.scipy.linalg.solve_triangular(C, nu, lower=True)   # [2M]
+
+    SGt = S.astype(dt) @ G.T                                   # [D,2M] GEMM
+    x = x + (SGt @ y).astype(x.dtype)                          # K·ν
+
+    IW = W.at[jnp.arange(2 * M), jnp.arange(2 * M)].add(1.0)   # I + W, lower
+    Y = jax.scipy.linalg.solve_triangular(IW, G, lower=True)   # [2M,D]
+    S = S - SGt @ Y                                            # [D,D] GEMM
+
+    act = jnp.arange(D) < 3 + 2 * state.n_active
+    # rows beyond the active block stay exactly zero; COLUMNS are left
+    # untouched — the noise-buffer columns live above the active block.
+    return state._replace(x=x, P=S * act[:, None].astype(dt))
+
+
+# ---------------------------------------------------------------------------
+# Prediction: O(D) row-axpys + exact rank-1 noise into a spare zero column
+# ---------------------------------------------------------------------------
+
+def sr_predict_fast(state: FilterState, u: jnp.ndarray, params: EKFParams,
+                    noise_col: jnp.ndarray) -> FilterState:
+    """Square-root prediction without re-triangularization.
+
+    Covariance math of EKF_SLAM.m:40-51: P' = F·P·Fᵀ + c·w·wᵀ.  F·S is two
+    row-axpys (F differs from I in two entries, EKF_SLAM.m:62-64), and the
+    rank-1 noise is absorbed EXACTLY by writing √c·w into column
+    ``noise_col`` — valid iff that column of S is currently all zero (the
+    session schedules one fresh buffer column per tick and reclaims them
+    with sr_recompress; tests assert the invariant)."""
+    x, S = state.x, state.P
+    dt = S.dtype
+    th = x[2]
+    dD, dTh = u[0], u[1]
+
+    w = jnp.stack([dD * cosd(th), dD * sind(th), dTh]).astype(dt)
+    sqc = jnp.sqrt(jnp.asarray(params.c_process, dt))
+
+    new_pose, f13, f23 = ekf.motion_model(x[:3], u, params.ref_compat)
+    new_pose = new_pose.at[2].set(wrap_to_360(new_pose[2]))
+    x = x.at[:3].set(new_pose.astype(x.dtype))
+
+    S = S.at[0].add(f13 * S[2]).at[1].add(f23 * S[2])          # F·S
+    S = lax.dynamic_update_slice(S, (sqc * w)[:, None],
+                                 (jnp.zeros((), jnp.int32),
+                                  noise_col.astype(jnp.int32)))
+    return state._replace(x=x, P=S)
+
+
+# ---------------------------------------------------------------------------
+# Periodic recompression: reclaim the noise-buffer columns
+# ---------------------------------------------------------------------------
+
+def sr_recompress(state: FilterState) -> FilterState:
+    """General factor → fresh lower-triangular factor of the same P.
+
+    One D×D GEMM (P = S·Sᵀ) + one dense Cholesky — both MXU-blocked ops,
+    unlike the Householder QR this schedule replaces.  Restores every
+    inactive/buffer column to exact zero, so the noise-column budget
+    resets.  Numerics: squares the factor once per buffer period (vs once
+    per tick for a dense-P filter), so conditioning stays ~√κ for the
+    ticks in between."""
+    return factor_from_state(state_to_dense(state))
+
+
+# ---------------------------------------------------------------------------
+# Full measurement phase (gate → joint Andrews update → O(D) appends)
+# ---------------------------------------------------------------------------
+
+def sr_measure_fast(state: FilterState, obs: ObsBatch, u: jnp.ndarray,
+                    params: EKFParams) -> FilterState:
+    """General-factor counterpart of srekf.sr_measure_batched: gating
+    strips come from full rows of S (no triangularity assumption), the
+    joint update is the closed-form Andrews pass, appends are unchanged
+    (a fresh slot's columns are untouched zeros, so sr_append's O(D)
+    block write stays exact)."""
+    from ..ops.association import gate_batch
+
+    M = obs.rng.shape[0]
+    rc0 = jnp.asarray(params.rc[0], params.dtype)
+    rc1 = jnp.asarray(params.rc[1], params.dtype)
+    zs = jnp.stack([obs.rng, obs.bearing,
+                    obs.index.astype(params.dtype)], axis=-1)
+    Rs = jax.vmap(lambda z: jnp.diag(
+        jnp.stack([z[0] * rc0, z[1] * rc1])))(zs)
+
+    if params.association == ASSOC_KNOWN:
+        is_new = zs[:, 2] > state.n_active.astype(params.dtype)
+        slots = jnp.clip(obs.index - 1, 0, state.capacity - 1)
+    else:
+        strips = sr_strips(state.P, state.capacity, triangular=False)
+        is_new, slots = gate_batch(state, zs, Rs, params, strips=strips)
+    first = state.n_active == 0
+    is_new = jnp.logical_or(is_new, first)
+
+    upd_valid = obs.valid & ~is_new
+    state = sr_update_andrews(state, zs, slots, Rs, upd_valid, params)
+
+    def body(ii, s):
+        def do(s):
+            return sr_append(s, u, Rs[ii], obs.loc[ii], zs[ii, 2], params)
+        return lax.cond(obs.valid[ii] & is_new[ii], do, lambda s: s, s)
+    return lax.fori_loop(0, M, body, state)
