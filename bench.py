@@ -9,15 +9,25 @@ with the rest of the set in ``extra``:
     all K landmarks (Correspondence.m:49-87 equivalent) + joint Kalman
     update of the (3+2K)-dim covariance (EKF_SLAM_UC.m:125-146
     equivalent), batched M=512 — the per-chip scaling headline;
-  * ``updates_per_sec_1k``: same at 1k landmarks (M=1024, chunk-256
+  * ``updates_per_sec_1k``: same at 1k landmarks (M=2048, chunk-256
     scheduling — the solve-bound regime);
   * ``frames_per_sec``: full session pipeline (odometry → predict →
     RANSAC → gate → update), 1024-beam scans, fused lax.scan;
+  * ``stream_ticks_per_sec``: the reference's actual operating mode — a
+    live per-tick feed (test_SLAM.m:16-18) through the micro-batched
+    async streaming driver (io/stream.py).  Reuses the frames run's
+    session so the only additional program is the short window scan
+    (sub-computations hit the compile cache — tunnel-tolerant);
   * ``vs_baseline``: TPU updates/sec over the NumPy oracle's — the oracle
     performs the reference's dense per-landmark-loop algebra with
     optimized BLAS (generous to the reference: interpreted MATLAB is
     slower; the reference itself publishes no numbers, SURVEY.md §6).
-    Measured directly at 1k; extrapolated by asymptotic cost at 10k.
+    Measured directly at 1k; at 10k the baseline is the MEASURED oracle
+    artifact experiments/results/oracle_10k.json (one real update takes
+    ~2e13 FLOPs ≈ tens of minutes on this host — measured once offline
+    by experiments/oracle_10k.py), with the asymptotic extrapolation
+    from 1k printed to stderr as a cross-check (and used as fallback if
+    the artifact is absent).
 
 Timing discipline: the axon tunnel imposes a ~25-31 ms FIXED per-call
 dispatch floor (measured, experiments/prof_floor4.py), so every timed
@@ -25,8 +35,10 @@ quantity iterates INSIDE one jitted lax.scan long enough to amortize it,
 with data-dependent loop bodies so XLA cannot fold the work away.
 
 Env overrides (none are set by the driver): BENCH_K=1000|10000 restricts
-to one config; BENCH_BATCH / BENCH_CHUNKS / BENCH_COV_DTYPE=bf16 tune it;
-BENCH_FRAMES=0 / BENCH_SEQ=1 toggle the frames and sequential runs.
+to one config; BENCH_BATCH / BENCH_CHUNKS / BENCH_COV_DTYPE=bf16|f32
+tune it (default: the measured schedule, bf16 P at 10k);
+BENCH_FRAMES=0 / BENCH_STREAM=0 / BENCH_SEQ=1 toggle the frames,
+streaming and sequential runs.
 """
 from __future__ import annotations
 
@@ -46,25 +58,30 @@ from ekf_slam_tpu.oracle.np_ekf import NumpyEKFSLAM
 from ekf_slam_tpu.state import FilterState, init_state
 
 ONLY_K = int(os.environ["BENCH_K"]) if "BENCH_K" in os.environ else None
-COV_DTYPE = (jnp.bfloat16 if os.environ.get("BENCH_COV_DTYPE") == "bf16"
-             else None)
 N_SEQ = 256       # sequential updates per timed run (amortizes the floor)
 N_ORACLE = 5      # oracle updates to time (median taken; seconds each)
+ORACLE_10K_ARTIFACT = os.path.join(os.path.dirname(__file__),
+                                   "experiments", "results",
+                                   "oracle_10k.json")
 
 
 def _defaults(K: int):
-    """(batch, chunks, n_batches, pht_mode) per landmark count — the
-    measured-fastest schedule (ekf_slam_tpu/utils/schedule.py, provenance
-    in BASELINE.md).  Long scans at 1k amortize the dispatch floor; short
-    at 10k (each batch is tens of ms and long scans have wedged the
-    remote compiler)."""
+    """(batch, chunks, n_batches, pht_mode, cov_dtype) per landmark count —
+    the measured-fastest schedule (ekf_slam_tpu/utils/schedule.py,
+    provenance in BASELINE.md).  Long scans at 1k amortize the dispatch
+    floor; short at 10k (each batch is tens of ms and long scans have
+    wedged the remote compiler)."""
     from ekf_slam_tpu.utils.schedule import recommended_schedule
     s = recommended_schedule(K)
     n_batches = 256 if K <= 2000 else 8
     batch = int(os.environ.get("BENCH_BATCH", s["batch"]))
     chunks = int(os.environ.get("BENCH_CHUNKS", s["update_chunks"]))
     pht = os.environ.get("BENCH_PHT", s["pht_mode"])
-    return batch, chunks, n_batches, pht
+    env_cd = os.environ.get("BENCH_COV_DTYPE")
+    cov = (jnp.bfloat16 if env_cd == "bf16"
+           else None if env_cd in ("f32", "none")
+           else s["cov_dtype"])
+    return batch, chunks, n_batches, pht, cov
 
 
 def make_full_state(params: EKFParams, K: int, seed=0) -> FilterState:
@@ -122,10 +139,10 @@ def _time(run, *args):
     return best
 
 
-def _params(K: int, chunks: int) -> EKFParams:
+def _params(K: int, chunks: int, cov_dtype=None) -> EKFParams:
     return EKFParams(capacity=K, association="ml", s_cost=1e6,
                      s_thresh=1e12, ref_compat=False, dtype=jnp.float32,
-                     cov_dtype=COV_DTYPE, update_chunks=chunks)
+                     cov_dtype=cov_dtype, update_chunks=chunks)
 
 
 def sequential_updates_per_sec(K: int) -> float:
@@ -146,8 +163,8 @@ def sequential_updates_per_sec(K: int) -> float:
 
 def batched_updates_per_sec(K: int) -> float:
     import dataclasses
-    batch, chunks, n_batches, pht = _defaults(K)
-    params = dataclasses.replace(_params(K, chunks), pht_mode=pht)
+    batch, chunks, n_batches, pht, cov = _defaults(K)
+    params = dataclasses.replace(_params(K, chunks, cov), pht_mode=pht)
     state = make_full_state(params, K)
     zs_all = jnp.asarray(
         make_measurements(state, K, n_batches * batch).reshape(
@@ -167,23 +184,29 @@ def batched_updates_per_sec(K: int) -> float:
 
     run = jax.jit(lambda st, zb: jax.lax.scan(one_batch, st, zb)[0])
     ups = (n_batches * batch) / _time(run, state, zs_all)
-    print(f"[bench] batched (M={batch}, G={chunks}, pht={pht}): "
+    cd = "bf16" if cov == jnp.bfloat16 else "f32"
+    print(f"[bench] batched (M={batch}, G={chunks}, pht={pht}, P={cd}): "
           f"{ups:.1f} updates/s @ {K} landmarks", file=sys.stderr)
     return ups
 
 
-def oracle_updates_per_sec(K: int) -> float:
-    """Dense-oracle throughput.  Above 2k landmarks the oracle is measured
-    at 1k and scaled by its asymptotic cost (N·D² association + D³ update —
-    running it directly would take hours per observation)."""
-    if K > 2000:
-        base = _oracle_at(1000)
-        scale = ((K * (3 + 2 * K) ** 2 + (3 + 2 * K) ** 3)
-                 / (1000 * 2003 ** 2 + 2003 ** 3))
-        print(f"[bench] oracle extrapolated from 1k by 1/{scale:.0f}",
+def oracle_10k_measured() -> float:
+    """Measured 10k oracle throughput from the one-time offline artifact
+    (experiments/oracle_10k.py — a real update at K=10k costs ~2e13 f64
+    FLOPs, tens of minutes on this host, so it is measured once and
+    pinned, not re-run inside every bench invocation).  Returns 0.0 when
+    the artifact is absent (fallback: asymptotic extrapolation)."""
+    try:
+        with open(ORACLE_10K_ARTIFACT) as f:
+            rec = json.load(f)
+        ups = float(rec["updates_per_sec"])
+        print(f"[bench] oracle @10k MEASURED: {ups:.2e} updates/s "
+              f"({rec['median_seconds_per_update']:.0f} s/update, "
+              f"n={rec['n_updates']}, {ORACLE_10K_ARTIFACT})",
               file=sys.stderr)
-        return base / scale
-    return _oracle_at(K)
+        return ups
+    except (OSError, KeyError, ValueError):
+        return 0.0
 
 
 def _oracle_at(k: int) -> float:
@@ -215,14 +238,14 @@ def _oracle_at(k: int) -> float:
     return 1.0 / float(np.median(times))
 
 
-def frames_per_sec() -> float:
-    """Full-pipeline session throughput: odometry → predict → RANSAC →
-    gate → update, T ticks fused in one lax.scan (the runSlam tick,
-    SLAM.m:70-144)."""
-    from ekf_slam_tpu.config import RansacParams
+def _session_and_traj():
+    """ONE flagship pipeline config shared by the frames and streaming
+    metrics, so the streaming run reuses the frames run's compiled
+    sub-computations (only the short window-scan program is new —
+    tunnel-tolerant by construction)."""
+    from ekf_slam_tpu.config import RansacParams, SimConfig
     from ekf_slam_tpu.session import SlamSession
     from ekf_slam_tpu.sim import world as W
-    from ekf_slam_tpu.config import SimConfig
 
     T = 128
     cfg = SimConfig(n_beams=1024, max_range=12.0)
@@ -237,6 +260,13 @@ def frames_per_sec() -> float:
             wall_search_timeout=4, table_capacity=64, promote_count=5,
             ref_compat=False, n_hypotheses=64, dtype=jnp.float32),
         seed=1)
+    return sess, traj, T
+
+
+def frames_per_sec(sess, traj, T) -> float:
+    """Full-pipeline session throughput: odometry → predict → RANSAC →
+    gate → update, T ticks fused in one lax.scan (the runSlam tick,
+    SLAM.m:70-144)."""
     odom = jnp.asarray(traj.odom, jnp.float32)
     rng = jnp.asarray(traj.ranges, jnp.float32)
     beams = jnp.asarray(traj.beam_angles, jnp.float32)
@@ -248,33 +278,19 @@ def frames_per_sec() -> float:
     return fps
 
 
-def stream_ticks_per_sec() -> float:
+def stream_ticks_per_sec(sess, traj, T) -> float:
     """Live streaming throughput: ticks pushed one at a time through
     window-16 micro-batches with async dispatch (io/stream.py) — the
-    reference's operating mode (test_SLAM.m:16-18), floor-amortized."""
-    from ekf_slam_tpu.config import RansacParams, SimConfig
+    reference's operating mode (test_SLAM.m:16-18), floor-amortized.
+    Same session/pipeline as frames_per_sec (see _session_and_traj)."""
     from ekf_slam_tpu.io.stream import StreamingSlamSession
-    from ekf_slam_tpu.session import SlamSession
-    from ekf_slam_tpu.sim import world as W
 
-    T, B, WIN = 128, 720, 16
-    cfg = SimConfig(n_beams=B, max_range=12.0)
-    room = W.rectangle_room(4.0, 3.0)
-    traj = W.simulate(room, W.circle_controls(T, 0.05, 3.0), cfg,
-                      jax.random.PRNGKey(0))
+    WIN = 16
     odom = np.asarray(traj.odom)
     rng = np.asarray(traj.ranges)
-    session = SlamSession(
-        ekf_params=EKFParams(capacity=64, max_obs=8, ref_compat=False,
-                             update_mode="batched", dtype=jnp.float32),
-        ransac_params=RansacParams(
-            line_consensus=60, bearing_window_deg=15.0,
-            wall_search_timeout=4, table_capacity=64, promote_count=5,
-            ref_compat=False, n_hypotheses=64, dtype=jnp.float32),
-        seed=1)
 
     def run_once():
-        stream = StreamingSlamSession(session, n_beams=B,
+        stream = StreamingSlamSession(sess, n_beams=rng.shape[1],
                                       beam_angles=traj.beam_angles,
                                       window=WIN, first_odom=odom[0])
         for t in range(T):
@@ -299,12 +315,14 @@ def main():
     run_frames = os.environ.get("BENCH_FRAMES", "1") == "1" and run_1k
 
     if run_frames:
-        extra["frames_per_sec"] = round(frames_per_sec(), 1)
-        # opt-in: the streaming program's remote compile has minutes-scale
-        # variance through the tunnel; chip numbers are recorded in
-        # BASELINE.md + experiments/results/ (496 ticks/s, window 16)
-        if os.environ.get("BENCH_STREAM", "0") == "1":
-            extra["stream_ticks_per_sec"] = round(stream_ticks_per_sec(), 1)
+        sess, traj, T = _session_and_traj()
+        extra["frames_per_sec"] = round(frames_per_sec(sess, traj, T), 1)
+        # streaming is the reference's actual operating mode
+        # (test_SLAM.m:16-18): on by default, riding the frames run's
+        # compiled pipeline (BENCH_STREAM=0 to skip)
+        if os.environ.get("BENCH_STREAM", "1") == "1":
+            extra["stream_ticks_per_sec"] = round(
+                stream_ticks_per_sec(sess, traj, T), 1)
 
     orc_1k = _oracle_at(1000)
     print(f"[bench] numpy oracle @1k: {orc_1k:.3f} updates/s",
@@ -322,9 +340,11 @@ def main():
         ups_10k = batched_updates_per_sec(10000)
         scale = ((10000 * 20003 ** 2 + 20003 ** 3)
                  / (1000 * 2003 ** 2 + 2003 ** 3))
-        orc_10k = orc_1k / scale
-        print(f"[bench] oracle @10k (extrapolated by 1/{scale:.0f}): "
-              f"{orc_10k:.2e} updates/s", file=sys.stderr)
+        extrap = orc_1k / scale
+        print(f"[bench] oracle @10k extrapolation cross-check "
+              f"(1k / {scale:.0f}): {extrap:.2e} updates/s",
+              file=sys.stderr)
+        orc_10k = oracle_10k_measured() or extrap
         primary = {
             "metric": "ekf_updates_per_sec_chip_10000_landmarks",
             "value": round(ups_10k, 2),

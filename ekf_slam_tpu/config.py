@@ -63,9 +63,19 @@ class EKFParams:
     #: path); 'batched' applies one joint rank-2M update per tick
     #: (models/batched.py, the TPU fast path — one pass over P per tick);
     #: 'srekf' propagates the Cholesky factor of P instead of P itself
-    #: (models/srekf.py — PSD by construction at any precision; the
-    #: conditioning option for f32 at large capacity / tiny R).
+    #: (models/srekf.py — PSD by construction at any precision; QR
+    #: re-triangularization per tick, O(D³) — small-capacity only);
+    #: 'srekf_fast' propagates a GENERAL square root with the closed-form
+    #: Andrews update (models/srekf_fast.py — same PSD-by-construction
+    #: guarantee in O(M·D²) GEMM-only work; THE square-root option at
+    #: 10k-landmark scale).
     update_mode: str = "sequential"
+
+    #: srekf_fast only: number of spare state dims reserved as zero factor
+    #: columns for exact O(D) rank-1 process-noise absorption — one column
+    #: is consumed per predict; when all are used the factor is
+    #: recompressed (one D² GEMM + Cholesky, amortized over the buffer).
+    sr_noise_buffer: int = 64
 
     #: batched-mode scheduling: apply the tick's joint update in this many
     #: sequential chunks of M/update_chunks observations each (gating still
@@ -143,8 +153,37 @@ class EKFParams:
     def __post_init__(self):
         if self.pht_mode not in ("dense", "rows"):
             raise ValueError(f"unknown pht_mode {self.pht_mode!r}")
-        if self.update_mode not in ("sequential", "batched", "srekf"):
+        if self.update_mode not in ("sequential", "batched", "srekf",
+                                    "srekf_fast"):
             raise ValueError(f"unknown update_mode {self.update_mode!r}")
+        # Square-root modes carry their own covariance representation; the
+        # dense-path knobs below would be silently ignored — reject the
+        # combination at construction instead (the failure mode this
+        # validation exists for: no silently-dead flags).
+        if self.update_mode in ("srekf", "srekf_fast"):
+            ignored = [
+                ("cov_dtype", self.cov_dtype is not None),
+                ("use_pallas", self.use_pallas),
+                ("joseph", self.joseph),
+                ("symmetrize", self.symmetrize),
+                ("masked_writes", self.masked_writes),
+                ("pht_mode='rows'", self.pht_mode == "rows"),
+            ]
+            bad = [name for name, hit in ignored if hit]
+            if bad:
+                raise ValueError(
+                    f"update_mode={self.update_mode!r} ignores dense-path "
+                    f"options {bad}; unset them (square-root filters keep "
+                    "full-precision factor storage and have the row-gather "
+                    "built in)")
+        if self.update_mode == "srekf" and self.update_chunks > 1:
+            raise ValueError(
+                "update_chunks is not supported by the QR srekf path "
+                "(one pre-array per tick); use update_mode='srekf_fast'")
+        if self.update_mode == "srekf_fast" and self.sr_noise_buffer < 1:
+            raise ValueError(
+                "update_mode='srekf_fast' needs sr_noise_buffer >= 1 "
+                "(spare zero columns for O(D) process-noise absorption)")
 
     @property
     def cov_dt(self):

@@ -223,13 +223,20 @@ def sr_update_batch(state: FilterState, zs: jnp.ndarray, slots: jnp.ndarray,
 # Gating strips + full measurement phase
 # ---------------------------------------------------------------------------
 
-def sr_strips(L: jnp.ndarray, K: int
+def sr_strips(L: jnp.ndarray, K: int, triangular: bool = True
               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """The P pieces the batched gate needs, straight from the factor:
-    (Prr [3,3], Prl [K,3,2], Pll [K,2,2]) — O(D²) elementwise, no dense P."""
+    (Prr [3,3], Prl [K,3,2], Pll [K,2,2]) — O(D²) elementwise, no dense P.
+
+    ``triangular=False``: the factor is a GENERAL square root (P = S·Sᵀ with
+    S not lower-triangular — models/srekf_fast.py), so the pose rows span
+    all columns; the strip contractions run full-width ([3,D]·[D,2K] — still
+    O(D·K), tiny next to the update GEMMs).  The diagonal-block row-dots are
+    width-agnostic either way."""
     end = 3 + 2 * K
-    Prr = L[:3, :3] @ L[:3, :3].T                    # L rows 0..2 end at col 2
-    Prl = (L[:3, :3] @ L[3:end, :3].T).reshape(3, K, 2).transpose(1, 0, 2)
+    w = 3 if triangular else L.shape[1]              # tri: pose rows end at col 2
+    Prr = L[:3, :w] @ L[:3, :w].T
+    Prl = (L[:3, :w] @ L[3:end, :w].T).reshape(3, K, 2).transpose(1, 0, 2)
     d0 = jnp.sum(L * L, axis=1)                      # diag of L·Lᵀ
     d1 = jnp.sum(L[:-1] * L[1:], axis=1)             # first superdiagonal
     p00, p11 = d0[3:end:2], d0[4:end:2]

@@ -5,39 +5,48 @@
 XLA's TPU QR executes at a tiny fraction of MXU peak.  At the 10k-landmark
 scale (D ≈ 20k, 2M = 4096) that is ~2·10¹³ badly-scheduled FLOPs per tick:
 the square-root option existed but was unusable exactly where f32
-conditioning needs it most (CLAUDE.md round-3 roadmap; the dense update it
-guards is the reference's (I−KH)·P at EKF_SLAM_UC.m:142-146).
+conditioning needs it most (measured 53 updates/s, BASELINE.md; the dense
+update it guards is the reference's (I−KH)·P at EKF_SLAM_UC.m:142-146).
 
 This module drops the triangularity invariant instead of the cost:
 
 * the factor ``S`` is a **general** D×D square root, P = S·Sᵀ — still PSD
   by construction (any real S is a factor of a PSD matrix, no matter how
   it is rounded), which is the property the square-root form is for;
-* the measurement update is the closed-form Andrews/Potter family update
-  (Andrews 1968): with HS = H·S (built from OBSERVED rows of S — the same
+* the measurement update is the closed-form Andrews-family update
+  (Andrews 1968): with V = H·S (built from OBSERVED rows of S — the same
   row-gather trick as the dense path's ``pht_mode='rows'``),
 
-      S_m = HS·HSᵀ + R,      C = chol(S_m)          (innovation factor)
-      G   = C⁻¹·HS,          W = C⁻¹·chol(R)
-      S'  = S − (S·Gᵀ)·(I+W)⁻¹·G,   x' = x + (S·Gᵀ)·(C⁻¹ν)
+      Sm = V·Vᵀ + R,      C = chol(Sm)              (innovation factor)
+      G  = C⁻¹·V,         W = C⁻¹·chol(R)
+      S' = S − (S·Gᵀ)·(I+W)⁻¹·G,   x' = x + (S·Gᵀ)·(C⁻¹ν)
 
-  The identity (I+W)⁻¹ + (I+W)⁻ᵀ − (I+W)⁻¹(I − W·Wᵀ)(I+W)⁻ᵀ = S_m-free
-  algebra below) makes S'·S'ᵀ = P − P·Hᵀ·S_m⁻¹·H·P exactly — the Kalman
-  posterior — using only two [D,D]×[D,2M] GEMMs, one [2M,2M] Cholesky and
-  three triangular solves: every FLOP lands on the MXU.
+  The identity (I+W)(I+Wᵀ) = I + W + Wᵀ + W·Wᵀ with G·Gᵀ = I − W·Wᵀ gives
+  α + αᵀ − α(I − W·Wᵀ)αᵀ = I for α = (I+W)⁻¹, hence
+  S'·S'ᵀ = P − S·Gᵀ·G·Sᵀ = P − P·Hᵀ·Sm⁻¹·H·P **exactly** — the Kalman
+  posterior.  Every triangular solve is replaced by an explicit
+  triangular inverse (one trsm against eye) + GEMM so the D-wide work
+  runs at MXU rate, the same scheduling lesson as models/batched.py's
+  Cholesky-inverse gain.  Cost: two [D,D]×[D,2M] GEMMs (S·Gᵀ and the
+  correction) + three [2M,2M]×[2M,D] GEMMs + one [2M,2M] Cholesky —
+  O(M·D²), vs the QR path's O((2M+D)³).
 * process noise is rank-1 per tick (c·w·wᵀ, EKF_SLAM.m:40-51), so predict
   absorbs it **exactly in O(D)** by writing √c·w into a spare zero column
   of S: S' = S + (√c·w)·e_cᵀ has S'S'ᵀ = SSᵀ + c·w·wᵀ whenever column c of
-  S is zero.  Spare columns come from padding D by ``sr_noise_buffer``
-  extra dims (init_state(extra_dims=...)); one is consumed per predict and
-  all are reclaimed by a periodic ``sr_recompress`` (dense P = SSᵀ via one
-  D³ GEMM + one Cholesky — both MXU-efficient, amortized over the buffer
-  period, unlike the per-tick QR it replaces).
+  S is zero.  Spare columns come from padding the state by
+  ``params.sr_noise_buffer`` extra dims (state.init_state(extra_dims=...));
+  one is consumed per predict and all are reclaimed by a periodic
+  ``sr_recompress`` (dense P = SSᵀ via one D³ GEMM + one Cholesky — both
+  MXU-blocked, amortized over the buffer period, unlike the per-tick QR
+  they replace).
 
-Invariant (checked in tests/test_srekf_fast.py): inactive-slot ROWS and
-COLUMNS of S stay exactly zero through predict/update/append, so masked
-lanes remain no-ops and ``sr_append``'s O(D) slot write stays valid for
-the general factor (a fresh slot's columns are untouched zeros).
+Invariant (tests/test_srekf_fast.py): never-touched slot and buffer
+COLUMNS of S stay exactly zero through predict/update/append — updates
+map zero columns to zero columns (column c of H·S is H·S[:,c]), predict
+only writes the scheduled buffer column, and appends write rows whose
+entries at fresh columns are jxr·S[:3, fresh] = 0 — so ``sr_append``'s
+O(D) slot write and the noise-column deposit stay exact for the general
+factor.
 """
 from __future__ import annotations
 
@@ -56,6 +65,16 @@ from .batched import _innovation_blocks
 from .srekf import factor_from_state, sr_append, sr_strips, state_to_dense
 
 
+def buffer_start(state: FilterState) -> int:
+    """First noise-buffer column: the dim right past the last slot."""
+    return 3 + 2 * state.capacity
+
+
+def buffer_size(state: FilterState) -> int:
+    """Number of spare noise columns the state was padded with."""
+    return state.dim - buffer_start(state)
+
+
 # ---------------------------------------------------------------------------
 # H·S from observed rows (the factor-space analog of batched.hp_from_rows)
 # ---------------------------------------------------------------------------
@@ -65,7 +84,7 @@ def _hs_rows(S: jnp.ndarray, x: jnp.ndarray, zs: jnp.ndarray,
              dt) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(H·S [2M,D], ν [2M]) touching only S's pose rows and one contiguous
     row pair per gated landmark — no dense H is ever materialized."""
-    D = x.shape[0]
+    D = S.shape[1]
     M = zs.shape[0]
     zhat, A, B = _innovation_blocks(x, slots, params)
     vmask = valid.astype(dt)
@@ -115,23 +134,26 @@ def sr_update_andrews(state: FilterState, zs: jnp.ndarray, slots: jnp.ndarray,
                       ) -> FilterState:
     """Joint square-root update of M observations in O(M·D²) MXU work.
 
-    Exactness: with B = S·Gᵀ·α·G for α = (I+W)⁻¹ the posterior gram is
+    Exactness (f64 parity vs models/batched.update_batch in
+    tests/test_srekf_fast.py): for α = (I+W)⁻¹ the posterior gram is
 
       S'S'ᵀ = P − S·Gᵀ(α + αᵀ − α(I − W·Wᵀ)αᵀ)G·Sᵀ
-            = P − S·Gᵀ·G·Sᵀ·…  since (I+W)(I+Wᵀ) = I + W + Wᵀ + WWᵀ
-      ⇒ α + αᵀ − α(I − WWᵀ)αᵀ = I  ⇒  S'S'ᵀ = P − PHᵀS_m⁻¹HP,
+            = P − S·Gᵀ·G·Sᵀ           [bracket = I, see module docstring]
+            = P − P·Hᵀ·Sm⁻¹·H·P,
 
     the exact Kalman posterior (same math the QR pre-array encodes,
-    srekf.sr_update_batch; reference dense form EKF_SLAM_UC.m:142-146)."""
+    srekf.sr_update_batch; reference dense form EKF_SLAM_UC.m:142-146).
+    Masked lanes: zero H rows + identity R blocks make the corresponding
+    columns of S·Gᵀ zero, so they cannot contribute to S' or x'."""
     x, S = state.x, state.P
-    D = x.shape[0]
+    D = S.shape[1]
     M = zs.shape[0]
     dt = S.dtype
 
     HS, nu = _hs_rows(S, x, zs, slots, valid, params, dt)      # [2M,D]
     sqR = _sqrt_noise_block(Rs, valid, dt)                     # [2M,2M]
 
-    Sm = HS @ HS.T
+    Sm = HS @ HS.T                                             # [2M,2M] GEMM
     # exact block-diagonal R = sqR·sqRᵀ added without a second GEMM
     idx = jnp.arange(M)
     d0, d1 = 2 * idx, 2 * idx + 1
@@ -140,22 +162,50 @@ def sr_update_andrews(state: FilterState, zs: jnp.ndarray, slots: jnp.ndarray,
     Sm = Sm.at[d0, d1].add(sqR[d1, d0] * sqR[d0, d0])
     Sm = Sm.at[d1, d1].add(sqR[d1, d0] ** 2 + sqR[d1, d1] ** 2)
 
+    # Explicit triangular inverses: ONE trsm each against eye (O(M³) at
+    # trsm rate), then every D-wide application is a full-rate GEMM — a
+    # left-solve against the D-wide HS would run ~6× slower (the measured
+    # TRSM wall from models/batched.py's gain schedule).
+    eye = jnp.eye(2 * M, dtype=dt)
     C = jnp.linalg.cholesky(Sm)                                # lower
-    G = jax.scipy.linalg.solve_triangular(C, HS, lower=True)   # [2M,D]
-    W = jax.scipy.linalg.solve_triangular(C, sqR, lower=True)  # [2M,2M]
-    y = jax.scipy.linalg.solve_triangular(C, nu, lower=True)   # [2M]
+    Cinv = lax.linalg.triangular_solve(C, eye, left_side=True, lower=True)
+    G = Cinv @ HS                                              # [2M,D] GEMM
+    W = Cinv @ sqR                                             # [2M,2M] GEMM
+    y = Cinv @ nu                                              # C⁻¹ν
 
     SGt = S.astype(dt) @ G.T                                   # [D,2M] GEMM
     x = x + (SGt @ y).astype(x.dtype)                          # K·ν
 
     IW = W.at[jnp.arange(2 * M), jnp.arange(2 * M)].add(1.0)   # I + W, lower
-    Y = jax.scipy.linalg.solve_triangular(IW, G, lower=True)   # [2M,D]
+    IWinv = lax.linalg.triangular_solve(IW, eye, left_side=True, lower=True)
+    Y = IWinv @ G                                              # [2M,D] GEMM
     S = S - SGt @ Y                                            # [D,D] GEMM
 
-    act = jnp.arange(D) < 3 + 2 * state.n_active
+    act = jnp.arange(S.shape[0]) < 3 + 2 * state.n_active
     # rows beyond the active block stay exactly zero; COLUMNS are left
-    # untouched — the noise-buffer columns live above the active block.
+    # untouched — the noise-buffer deposits live in pose rows 0..2.
     return state._replace(x=x, P=S * act[:, None].astype(dt))
+
+
+def sr_update_chunked(state: FilterState, zs: jnp.ndarray,
+                      slots: jnp.ndarray, Rs: jnp.ndarray,
+                      valid: jnp.ndarray, params: EKFParams) -> FilterState:
+    """``sr_update_andrews`` in ``params.update_chunks`` sequential chunks.
+
+    Same scheduling economics as batched.update_chunked: the two O(M·D²)
+    factor GEMMs are chunk-invariant, while the O(M²·D) G/Y GEMMs and the
+    O(M³) Cholesky/inverses shrink by G and G² — at 10k landmarks the
+    chunk-512 schedule carries over from the dense path (BASELINE.md)."""
+    G = max(1, int(params.update_chunks))
+    M = zs.shape[0]
+    if G == 1 or G >= M:
+        return sr_update_andrews(state, zs, slots, Rs, valid, params)
+    m = -(-M // G)
+    for g0 in range(0, M, m):
+        sl = slice(g0, min(g0 + m, M))
+        state = sr_update_andrews(state, zs[sl], slots[sl], Rs[sl],
+                                  valid[sl], params)
+    return state
 
 
 # ---------------------------------------------------------------------------
@@ -163,7 +213,7 @@ def sr_update_andrews(state: FilterState, zs: jnp.ndarray, slots: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def sr_predict_fast(state: FilterState, u: jnp.ndarray, params: EKFParams,
-                    noise_col: jnp.ndarray) -> FilterState:
+                    noise_col) -> FilterState:
     """Square-root prediction without re-triangularization.
 
     Covariance math of EKF_SLAM.m:40-51: P' = F·P·Fᵀ + c·w·wᵀ.  F·S is two
@@ -171,7 +221,7 @@ def sr_predict_fast(state: FilterState, u: jnp.ndarray, params: EKFParams,
     rank-1 noise is absorbed EXACTLY by writing √c·w into column
     ``noise_col`` — valid iff that column of S is currently all zero (the
     session schedules one fresh buffer column per tick and reclaims them
-    with sr_recompress; tests assert the invariant)."""
+    with sr_recompress; tests/test_srekf_fast.py asserts the invariant)."""
     x, S = state.x, state.P
     dt = S.dtype
     th = x[2]
@@ -185,9 +235,9 @@ def sr_predict_fast(state: FilterState, u: jnp.ndarray, params: EKFParams,
     x = x.at[:3].set(new_pose.astype(x.dtype))
 
     S = S.at[0].add(f13 * S[2]).at[1].add(f23 * S[2])          # F·S
-    S = lax.dynamic_update_slice(S, (sqc * w)[:, None],
-                                 (jnp.zeros((), jnp.int32),
-                                  noise_col.astype(jnp.int32)))
+    S = lax.dynamic_update_slice(
+        S, (sqc * w)[:, None],
+        (jnp.zeros((), jnp.int32), jnp.asarray(noise_col, jnp.int32)))
     return state._replace(x=x, P=S)
 
 
@@ -214,10 +264,11 @@ def sr_recompress(state: FilterState) -> FilterState:
 def sr_measure_fast(state: FilterState, obs: ObsBatch, u: jnp.ndarray,
                     params: EKFParams) -> FilterState:
     """General-factor counterpart of srekf.sr_measure_batched: gating
-    strips come from full rows of S (no triangularity assumption), the
-    joint update is the closed-form Andrews pass, appends are unchanged
-    (a fresh slot's columns are untouched zeros, so sr_append's O(D)
-    block write stays exact)."""
+    strips come from full rows of S (no triangularity assumption —
+    srekf.sr_strips(triangular=False)), the joint update is the chunked
+    closed-form Andrews pass, appends are unchanged (a fresh slot's
+    columns are untouched zeros, so sr_append's O(D) block write stays
+    exact)."""
     from ..ops.association import gate_batch
 
     M = obs.rng.shape[0]
@@ -238,7 +289,7 @@ def sr_measure_fast(state: FilterState, obs: ObsBatch, u: jnp.ndarray,
     is_new = jnp.logical_or(is_new, first)
 
     upd_valid = obs.valid & ~is_new
-    state = sr_update_andrews(state, zs, slots, Rs, upd_valid, params)
+    state = sr_update_chunked(state, zs, slots, Rs, upd_valid, params)
 
     def body(ii, s):
         def do(s):

@@ -86,36 +86,41 @@ def _dedupe(points: np.ndarray, radius: float) -> np.ndarray:
 def merge_maps(maps: Sequence[RobotMap], icp_iters: int = 25,
                icp_max_rmse: float = 0.15, icp_min_inliers: int = 80,
                guess_info=(2.0, 2.0, 2.0), icp_info=(300.0, 300.0, 300.0),
-               merge_radius: float = 0.3, opt_iters: int = 15
-               ) -> MergeResult:
-    """Fuse N robot maps into robot 0's frame (see module doc)."""
+               merge_radius: float = 0.3, opt_iters: int = 15,
+               dtype=None) -> MergeResult:
+    """Fuse N robot maps into robot 0's frame (see module doc).
+
+    ``dtype``: device dtype for the graph/ICP math; defaults to the scan
+    points' dtype (requesting f64 under an x64-disabled runtime would
+    emit truncation warnings and silently compute in f32)."""
     N = len(maps)
-    graph = pg.init_graph(max(8, N), max(16, N * N), jnp.float64)
+    dt = dtype if dtype is not None else jnp.asarray(maps[0].scan_pts).dtype
+    graph = pg.init_graph(max(8, N), max(16, N * N), dt)
     ids = []
     for m in maps:
         graph, nid = pg.add_node(graph,
-                                 jnp.asarray(m.anchor_guess, jnp.float64))
+                                 jnp.asarray(m.anchor_guess, dt))
         ids.append(int(nid))
 
     # weak priors: keep every frame near its deployment guess
     for k in range(1, N):
-        z = pg.relative_pose(jnp.asarray(maps[0].anchor_guess, jnp.float64),
-                             jnp.asarray(maps[k].anchor_guess, jnp.float64))
+        z = pg.relative_pose(jnp.asarray(maps[0].anchor_guess, dt),
+                             jnp.asarray(maps[k].anchor_guess, dt))
         graph = pg.add_edge(graph, ids[0], ids[k], z,
-                            jnp.asarray(guess_info, jnp.float64))
+                            jnp.asarray(guess_info, dt))
 
     # precise alignment: pairwise scan matches seeded from the guesses
     n_icp = 0
     for i in range(N):
         for j in range(i + 1, N):
             a, b = maps[i], maps[j]
-            z0 = pg.relative_pose(jnp.asarray(a.anchor_guess, jnp.float64),
-                                  jnp.asarray(b.anchor_guess, jnp.float64))
-            res = run_icp(jnp.asarray(b.scan_pts, jnp.float64),
+            z0 = pg.relative_pose(jnp.asarray(a.anchor_guess, dt),
+                                  jnp.asarray(b.anchor_guess, dt))
+            res = run_icp(jnp.asarray(b.scan_pts, dt),
                           jnp.asarray(b.scan_valid),
-                          jnp.asarray(a.scan_pts, jnp.float64),
+                          jnp.asarray(a.scan_pts, dt),
                           jnp.asarray(a.scan_valid),
-                          init_pose=jnp.asarray(z0, jnp.float64),
+                          init_pose=jnp.asarray(z0, dt),
                           iters=icp_iters)
             if (float(res.rmse) > icp_max_rmse
                     or int(res.n_inliers) < icp_min_inliers):
@@ -123,8 +128,8 @@ def merge_maps(maps: Sequence[RobotMap], icp_iters: int = 25,
             z = np.array(res.pose)            # writable host copy
             z[2] = np.mod(z[2] + 180.0, 360.0) - 180.0
             graph = pg.add_edge(graph, ids[i], ids[j],
-                                jnp.asarray(z, jnp.float64),
-                                jnp.asarray(icp_info, jnp.float64))
+                                jnp.asarray(z, dt),
+                                jnp.asarray(icp_info, dt))
             n_icp += 1
 
     graph = pg.optimize(graph, iters=opt_iters)

@@ -76,6 +76,27 @@ class ShardedSlamSession:
             self.ransac_params = RansacParams(dtype=self.ekf_params.dtype)
         if self.update_path not in ("gspmd", "shard_map"):
             raise ValueError(f"unknown update_path {self.update_path!r}")
+        # Reject configurations this session class cannot honor, instead of
+        # silently running something else (the SlamSession construction-time
+        # standard; ICP/fused control and map maintenance are likewise not
+        # constructor surface here — the sharded step is odometry-driven).
+        if self.ekf_params.update_mode in ("srekf", "srekf_fast"):
+            raise NotImplementedError(
+                "ShardedSlamSession row-shards the dense covariance; "
+                "square-root modes are not supported (their factor is not "
+                "row-shardable by this layout)")
+        if self.update_path == "shard_map":
+            if self.ekf_params.update_mode != "batched":
+                raise ValueError(
+                    "update_path='shard_map' implements the batched joint "
+                    "update; set update_mode='batched' "
+                    f"(got {self.ekf_params.update_mode!r})")
+            if self.ekf_params.symmetrize:
+                raise ValueError(
+                    "symmetrize under update_path='shard_map' would need a "
+                    "full O(D²/n) all-to-all transpose every tick "
+                    "(parallel/shard_update.py); the batched update "
+                    "preserves symmetry algebraically — unset symmetrize")
         # scatter/dynamic-slice writes into a row-sharded P make GSPMD
         # all-gather the whole covariance (3×P bytes/tick measured by
         # experiments/scaling_harness.py); the masked elementwise forms
@@ -100,6 +121,7 @@ class ShardedSlamSession:
             scan = scan_from_ranges(ranges, beam_angles)
             obs, table = extract(carry.table, scan, filt.x, filt.n_active,
                                  sub, rp, ep.max_obs)
+            pre_measure = filt
             if self.update_path == "shard_map":
                 from .shard_update import measure_batched_shard_map
                 filt = _constrain(
@@ -109,6 +131,11 @@ class ShardedSlamSession:
                 filt = _constrain(measure_batched(filt, obs, u, ep), mesh)
             else:
                 filt = _constrain(ekf.measure(filt, obs, u, ep), mesh)
+            if ep.guard_max_jump is not None:
+                # same tick-rollback guard as SlamSession (utils/faults.py);
+                # the verdict reduction is O(D) and sharding-agnostic
+                from ..utils.faults import guarded
+                filt, _ = guarded(pre_measure, filt, ep.guard_max_jump)
 
             out = StepOutput(pose=filt.x[:3], n_active=filt.n_active,
                              n_obs=jnp.sum(obs.valid).astype(jnp.int32),

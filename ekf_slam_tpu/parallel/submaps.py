@@ -81,11 +81,15 @@ class SubmapSlam:
                                    ransac_params=self.ransac_params,
                                    seed=self.seed)
         self.ekf_params = self.session.ekf_params
-        self.graph = pg.init_graph(256, 1024, jnp.float64)
+        # pose-graph dtype follows the filter params: hard-coded f64 here
+        # used to emit truncation warnings (and silently compute f32)
+        # whenever x64 is disabled — exactly the multichip dryrun setting
+        self._dt = self.ekf_params.dtype
+        self.graph = pg.init_graph(256, 1024, self._dt)
         self.submaps: List[Submap] = []
         self._anchor = np.zeros(3)
         self.graph, nid = pg.add_node(self.graph,
-                                      jnp.asarray(self._anchor, jnp.float64))
+                                      jnp.asarray(self._anchor, self._dt))
         self._node = int(nid)
         self._carry = None
         self._odo_info = np.array([50.0, 50.0, 50.0])
@@ -135,15 +139,15 @@ class SubmapSlam:
             scan_pts=scan_pts, scan_valid=scan_valid))
         new_anchor = compose(self._anchor, end_local)
         self.graph, nid = pg.add_node(self.graph,
-                                      jnp.asarray(new_anchor, jnp.float64))
+                                      jnp.asarray(new_anchor, self._dt))
         # odometry edge: measured relative pose between the two anchors is
         # the filter's end-of-segment local pose.
         z = jnp.asarray(
             [end_local[0], end_local[1],
-             np.mod(end_local[2] + 180.0, 360.0) - 180.0], jnp.float64)
+             np.mod(end_local[2] + 180.0, 360.0) - 180.0], self._dt)
         self.graph = pg.add_edge(
             self.graph, self._node, int(nid), z,
-            jnp.asarray(self._odo_info, jnp.float64))
+            jnp.asarray(self._odo_info, self._dt))
         self._anchor = new_anchor
         self._node = int(nid)
 
@@ -170,18 +174,18 @@ class SubmapSlam:
                 if np.linalg.norm(a.anchor[:2] - b.anchor[:2]) >= radius:
                     continue
                 z0 = np.asarray(pg.relative_pose(
-                    jnp.asarray(a.anchor, jnp.float64),
-                    jnp.asarray(b.anchor, jnp.float64)))
+                    jnp.asarray(a.anchor, self._dt),
+                    jnp.asarray(b.anchor, self._dt)))
                 if (use_icp and a.scan_pts is not None
                         and b.scan_pts is not None):
                     # points of j's frame aligned into i's frame:
                     # p_i = T(z_ij) · p_j — ICP refines z_ij from z0
                     res = run_icp(
-                        jnp.asarray(b.scan_pts, jnp.float64),
+                        jnp.asarray(b.scan_pts, self._dt),
                         jnp.asarray(b.scan_valid),
-                        jnp.asarray(a.scan_pts, jnp.float64),
+                        jnp.asarray(a.scan_pts, self._dt),
                         jnp.asarray(a.scan_valid),
-                        init_pose=jnp.asarray(z0, jnp.float64), iters=25)
+                        init_pose=jnp.asarray(z0, self._dt), iters=25)
                     if (float(res.rmse) > icp_max_rmse
                             or int(res.n_inliers) < icp_min_inliers):
                         continue
@@ -199,7 +203,7 @@ class SubmapSlam:
         anchors (e.g. from scan matching or re-observed landmarks)."""
         self.graph = pg.add_edge(
             self.graph, self.submaps[i].node_id, self.submaps[j].node_id,
-            jnp.asarray(z_rel, jnp.float64), jnp.asarray(info, jnp.float64))
+            jnp.asarray(z_rel, self._dt), jnp.asarray(info, self._dt))
 
     def optimize(self, iters: int = 15):
         """Re-align all anchors; updates each submap's stored anchor."""

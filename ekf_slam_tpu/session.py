@@ -53,6 +53,10 @@ class SessionCarry(NamedTuple):
     # control_source='icp' (scan-to-scan odometry); None otherwise.
     prev_pts: Optional[jnp.ndarray] = None     # f[B,2]
     prev_valid: Optional[jnp.ndarray] = None   # bool[B]
+    # tick counter — only carried for update_mode='srekf_fast', where it
+    # schedules the process-noise buffer column and the periodic factor
+    # recompression (models/srekf_fast.py); None otherwise.
+    sr_tick: Optional[jnp.ndarray] = None      # i32 ()
 
 
 class StepOutput(NamedTuple):
@@ -128,7 +132,7 @@ class SlamSession:
         if self.ransac_params is None:
             self.ransac_params = RansacParams(dtype=self.ekf_params.dtype)
         if ((self.maintain_merge_radius > 0 or self.maintain_max_trace > 0)
-                and self.ekf_params.update_mode == "srekf"):
+                and self.ekf_params.update_mode in ("srekf", "srekf_fast")):
             raise NotImplementedError(
                 "map maintenance operates on the dense covariance; "
                 "srekf sessions are not supported yet")
@@ -147,11 +151,21 @@ class SlamSession:
     # -- construction -------------------------------------------------------
     def init_carry(self, first_odom=None, n_beams: Optional[int] = None
                    ) -> SessionCarry:
-        filt = init_state(self.ekf_params)
-        if self.ekf_params.update_mode == "srekf":
-            # carry the Cholesky factor in the P field (models/srekf.py)
+        sr_tick = None
+        if self.ekf_params.update_mode == "srekf_fast":
+            # pad the state with the noise-buffer columns and carry the
+            # factor in the P field (models/srekf_fast.py)
             from .models.srekf import factor_from_state
+            filt = init_state(self.ekf_params,
+                              extra_dims=self.ekf_params.sr_noise_buffer)
             filt = factor_from_state(filt)
+            sr_tick = jnp.zeros((), jnp.int32)
+        else:
+            filt = init_state(self.ekf_params)
+            if self.ekf_params.update_mode == "srekf":
+                # carry the Cholesky factor in the P field (models/srekf.py)
+                from .models.srekf import factor_from_state
+                filt = factor_from_state(filt)
         old = (jnp.zeros((3,), self.ekf_params.dtype)
                if first_odom is None
                else jnp.asarray(first_odom, self.ekf_params.dtype))
@@ -171,6 +185,7 @@ class SlamSession:
             key=jax.random.PRNGKey(self.seed),
             prev_pts=prev_pts,
             prev_valid=prev_valid,
+            sr_tick=sr_tick,
         )
 
     def _make_step(self):
@@ -228,6 +243,13 @@ class SlamSession:
                 if ep.update_mode == "srekf":
                     from .models.srekf import sr_predict
                     filt = sr_predict(carry.filt, u, ep)
+                elif ep.update_mode == "srekf_fast":
+                    # this tick's fresh zero column of the factor: the
+                    # buffer starts right past the last slot dim (3+2K)
+                    from .models.srekf_fast import sr_predict_fast
+                    col = ep.dim + jnp.mod(carry.sr_tick,
+                                           ep.sr_noise_buffer)
+                    filt = sr_predict_fast(carry.filt, u, ep, col)
                 else:
                     filt = ekf.predict(carry.filt, u, ep)  # SLAM.m:110
 
@@ -244,12 +266,16 @@ class SlamSession:
                 elif ep.update_mode == "srekf":
                     from .models.srekf import sr_measure_batched
                     filt = sr_measure_batched(filt, obs, u, ep)
+                elif ep.update_mode == "srekf_fast":
+                    from .models.srekf_fast import sr_measure_fast
+                    filt = sr_measure_fast(filt, obs, u, ep)
                 else:
                     filt = ekf.measure(filt, obs, u, ep)   # SLAM.m:116
             if ep.guard_max_jump is not None:
                 from .utils.faults import guarded
-                filt, _ = guarded(pre_measure, filt, ep.guard_max_jump,
-                                  factored=ep.update_mode == "srekf")
+                filt, _ = guarded(
+                    pre_measure, filt, ep.guard_max_jump,
+                    factored=ep.update_mode in ("srekf", "srekf_fast"))
             if (self.maintain_merge_radius > 0
                     or self.maintain_max_trace > 0):
                 # srekf rejected at construction (__post_init__)
@@ -258,12 +284,23 @@ class SlamSession:
                                    merge_radius=self.maintain_merge_radius,
                                    max_trace=self.maintain_max_trace)
 
+            sr_tick = carry.sr_tick
+            if ep.update_mode == "srekf_fast":
+                # every sr_noise_buffer ticks the spare columns run out:
+                # recompress the general factor back to triangular (one
+                # D² GEMM + Cholesky, amortized over the whole buffer)
+                from .models.srekf_fast import sr_recompress
+                filt = jax.lax.cond(
+                    jnp.mod(carry.sr_tick + 1, ep.sr_noise_buffer) == 0,
+                    sr_recompress, lambda s: s, filt)
+                sr_tick = carry.sr_tick + 1
+
             out = StepOutput(pose=filt.x[:3],
                              n_active=filt.n_active,
                              n_obs=jnp.sum(obs.valid).astype(jnp.int32),
                              u=u, obs=obs)
             return SessionCarry(filt, table, odom_pose.astype(ep.dtype),
-                                key, prev_pts, prev_valid), out
+                                key, prev_pts, prev_valid, sr_tick), out
 
         return step
 

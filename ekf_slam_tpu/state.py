@@ -62,15 +62,21 @@ def round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def init_state(params: EKFParams, pad_to_multiple_of: int = 1) -> FilterState:
+def init_state(params: EKFParams, pad_to_multiple_of: int = 1,
+               extra_dims: int = 0) -> FilterState:
     """Initial state: origin pose, P = 0.1*I on the pose block
     (EKF_SLAM.m:28-31), empty landmark set.
 
     ``pad_to_multiple_of``: round the joint dimension D up so covariance
     row-tiles divide evenly over a device mesh (D = 3+2K is odd, so sharded
     runs always need padding).  Extra rows are permanent zeros — every
-    filter op is already masked by capacity/active."""
-    D, K = params.dim, params.capacity
+    filter op is already masked by capacity/active.
+
+    ``extra_dims``: append this many extra zero dims beyond 3+2K.  Used by
+    the fast square-root filter (models/srekf_fast.py) as a process-noise
+    column buffer: slot math never touches dims ≥ 3+2K, so those columns
+    of the factor are guaranteed zero until a predict deposits √c·w there."""
+    D, K = params.dim + extra_dims, params.capacity
     D = round_up(D, pad_to_multiple_of)
     dt = params.dtype
     cdt = params.cov_dt

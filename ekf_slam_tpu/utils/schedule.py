@@ -7,11 +7,16 @@ Their balance flips with D, and the best (batch, chunks, pht_mode) was
 measured on a v5e chip (BASELINE.md round-2 tables):
 
 * small maps (K ≤ ~2k): the solve dominates → dense P·Hᵀ (the row gather
-  overhead loses), large batches, chunk-256 scheduling;
+  overhead loses), large batches, chunk-256 scheduling, f32 storage
+  (the dense GEMMs hid any bandwidth share bf16 would recover);
 * large maps (K > ~2k): the GEMMs dominate → rows-mode P·Hᵀ (symmetry,
-  no dense D²·2M GEMM), chunk-512 scheduling (quadratic terms cut G²×
-  at constant correction flops).  Measured at 10k: 26.6k → 59.7k
-  updates/s f32 (65.3k with bf16 P).
+  no dense D²·2M GEMM), M=4096 batches, chunk-512 scheduling (quadratic
+  terms cut G²× at constant correction flops), and **bf16 covariance
+  storage** — rows mode re-exposes a bandwidth share, so halving P's HBM
+  bytes pays (+8% measured) while all contractions still accumulate in
+  f32 on the MXU and bf16-P passes its accuracy/gate-parity/session
+  tests (tests/test_mixed_precision.py).  Measured at 10k:
+  26.6k (r1) → 59.7k f32 → 65.3k bf16 M=4096 G=8 (BASELINE.md).
 
 ``recommended_schedule`` returns those defaults; bench.py and user code
 share it so the tuned configuration is a product feature, not a
@@ -20,29 +25,45 @@ benchmark detail.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Any, Optional
+
+import jax.numpy as jnp
 
 from ..config import EKFParams
 
 
 def recommended_schedule(capacity: int, batch: Optional[int] = None
                          ) -> dict:
-    """(batch, update_chunks, pht_mode) measured-fastest for ``capacity``.
+    """(batch, update_chunks, pht_mode, cov_dtype) measured-fastest for
+    ``capacity``.
 
     ``batch``: override the observation batch size M; chunks then target
     the measured optimum chunk length (256 small-map / 512 large-map)."""
     if capacity <= 2000:
         m = batch or 2048
         return {"batch": m, "update_chunks": max(1, m // 256),
-                "pht_mode": "dense"}
-    m = batch or 2048
+                "pht_mode": "dense", "cov_dtype": None}
+    m = batch or 4096
     return {"batch": m, "update_chunks": max(1, m // 512),
-            "pht_mode": "rows"}
+            "pht_mode": "rows", "cov_dtype": jnp.bfloat16}
 
 
-def tuned_params(params: EKFParams, batch: Optional[int] = None
-                 ) -> EKFParams:
-    """``params`` with the measured scheduling knobs applied."""
+def tuned_params(params: EKFParams, batch: Optional[int] = None,
+                 cov_dtype: Any = "auto") -> EKFParams:
+    """``params`` with the measured scheduling knobs applied.
+
+    ``cov_dtype``: 'auto' applies the schedule's recommended covariance
+    storage dtype (bf16 for large maps); pass ``None`` (or a dtype) to
+    opt out and pin the storage precision yourself.
+
+    Square-root modes keep their own covariance representation: only the
+    chunk scheduling applies to 'srekf_fast', nothing to 'srekf'."""
     s = recommended_schedule(params.capacity, batch)
+    if params.update_mode == "srekf":
+        return params
+    if params.update_mode == "srekf_fast":
+        return dataclasses.replace(params,
+                                   update_chunks=s["update_chunks"])
+    cd = s["cov_dtype"] if cov_dtype == "auto" else cov_dtype
     return dataclasses.replace(params, update_chunks=s["update_chunks"],
-                               pht_mode=s["pht_mode"])
+                               pht_mode=s["pht_mode"], cov_dtype=cd)

@@ -183,3 +183,49 @@ def test_sharded_batched_mode_composes():
     np.testing.assert_allclose(np.asarray(c_sh.filt.x[:d]),
                                np.asarray(c_ref.filt.x[:d]),
                                rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("bad", [
+    dict(update_mode="srekf"),
+    dict(update_mode="srekf_fast"),
+])
+def test_sharded_rejects_square_root_modes(bad):
+    """The sharded session row-shards the dense covariance; square-root
+    modes must be rejected at construction, not silently run something
+    else (round-2 verdict: no silently-ignored flags across sessions)."""
+    with pytest.raises(NotImplementedError, match="square-root"):
+        ShardedSlamSession(mesh=make_mesh(),
+                           ekf_params=EKFParams(capacity=16, **bad))
+
+
+def test_shard_map_rejects_incompatible_flags():
+    # shard_map implements the batched joint update
+    with pytest.raises(ValueError, match="batched"):
+        ShardedSlamSession(
+            mesh=make_mesh(), update_path="shard_map",
+            ekf_params=EKFParams(capacity=16, update_mode="sequential"))
+    # symmetrize would force a full O(D²/n) all-to-all per tick
+    with pytest.raises(ValueError, match="symmetrize"):
+        ShardedSlamSession(
+            mesh=make_mesh(), update_path="shard_map",
+            ekf_params=EKFParams(capacity=16, update_mode="batched",
+                                 symmetrize=True))
+
+
+def test_sharded_supports_guard_max_jump():
+    """guard_max_jump is honored by the sharded step (same rollback guard
+    as SlamSession) — previously a silently-ignored flag."""
+    traj, _ = make_traj(T=15)
+    ep = EKFParams(capacity=16, max_obs=8, ref_compat=False,
+                   update_mode="batched", guard_max_jump=5.0,
+                   dtype=jnp.float64)
+    ref = SlamSession(ekf_params=ep, ransac_params=SIM_RANSAC, seed=5)
+    c0, _ = ref.run(traj.odom, traj.ranges, traj.beam_angles)
+    sh = ShardedSlamSession(mesh=make_mesh(), ekf_params=ep,
+                            ransac_params=SIM_RANSAC, seed=5)
+    c1, _ = sh.run(traj.odom, traj.ranges, traj.beam_angles)
+    assert int(c1.filt.n_active) == int(c0.filt.n_active)
+    d = 3 + 2 * int(c0.filt.n_active)
+    np.testing.assert_allclose(np.asarray(c1.filt.x[:d]),
+                               np.asarray(c0.filt.x[:d]),
+                               rtol=1e-9, atol=1e-11)
