@@ -58,3 +58,9 @@ def test_streaming_example(capsys):
     s = json.loads(out.strip().splitlines()[-1])
     assert s["ticks"] == 32 and s["completed"] == 32
     assert s["latency_p99_ms"] >= s["latency_p50_ms"] > 0
+
+
+def test_occupancy_mapping_example(capsys):
+    run_example("occupancy_mapping.py", ["--ticks", "40"])
+    out = capsys.readouterr().out
+    assert "occupied=" in out and "free=" in out
