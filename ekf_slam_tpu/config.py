@@ -99,6 +99,13 @@ class EKFParams:
     #:             ref-compat path keeps 'dense' semantics.
     pht_mode: str = "dense"
 
+    #: how rows-mode paths gather the observed rows of P (or of the factor
+    #: S in srekf_fast): 'take' uses XLA's gather lowering; 'pallas' uses
+    #: the scalar-prefetch DMA-pipeline kernel
+    #: (ops/pallas/kernels.row_gather_pallas) — measured chip numbers in
+    #: BASELINE.md decide the recommended setting.
+    rows_gather: str = "take"
+
     #: failure detection (utils/faults.py): if set, a tick whose measurement
     #: phase moves the pose more than this many meters — or produces
     #: non-finite state / negative covariance — is rolled back and treated
@@ -176,6 +183,14 @@ class EKFParams:
                     f"options {bad}; unset them (square-root filters keep "
                     "full-precision factor storage and have the row-gather "
                     "built in)")
+        if self.rows_gather not in ("take", "pallas"):
+            raise ValueError(f"unknown rows_gather {self.rows_gather!r}")
+        if (self.rows_gather == "pallas"
+                and self.pht_mode != "rows"
+                and self.update_mode != "srekf_fast"):
+            raise ValueError(
+                "rows_gather='pallas' only applies to row-gathering paths "
+                "(pht_mode='rows' or update_mode='srekf_fast')")
         if self.update_mode == "srekf" and self.update_chunks > 1:
             raise ValueError(
                 "update_chunks is not supported by the QR srekf path "

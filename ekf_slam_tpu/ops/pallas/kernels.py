@@ -107,6 +107,61 @@ def cov_update(P: jnp.ndarray, K: jnp.ndarray, V: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Dynamic row gather: out[i, :] = P[rows[i], :]  (scalar-prefetch DMA)
+# ---------------------------------------------------------------------------
+
+def row_gather_ref(P: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
+    """jnp reference / CPU fallback (XLA's take lowering)."""
+    return jnp.take(P, rows, axis=0)
+
+
+def _row_gather_kernel(rows_ref, p_ref, o_ref):
+    # the BlockSpec index_map already steered the DMA to row rows[i];
+    # the body is a pure VMEM copy
+    o_ref[...] = p_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def row_gather_pallas(P: jnp.ndarray, rows: jnp.ndarray,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Pipelined dynamic row gather via scalar-prefetched index maps.
+
+    ``pht_mode='rows'`` reads the 2M observed rows of P each chunk
+    (models/batched.hp_from_rows).  XLA lowers ``jnp.take`` to a gather
+    that measured only ~37 GB/s on chip at 10k landmarks (stage D,
+    experiments/chip_r3.py) — 3-5× below the elementwise stream rate.
+    Here the row indices are scalar-prefetched into SMEM so each grid
+    step's input BlockSpec can point its DMA straight at row
+    ``rows[i]``: the gather becomes a double-buffered DMA pipeline with
+    a no-op body, running at copy rate."""
+    N = rows.shape[0]
+    D = P.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N,),
+        in_specs=[pl.BlockSpec((1, D), lambda i, rows_ref:
+                               (rows_ref[i], 0))],
+        out_specs=pl.BlockSpec((1, D), lambda i, rows_ref: (i, 0)),
+    )
+    return pl.pallas_call(
+        _row_gather_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, D), P.dtype),
+        interpret=interpret,
+    )(rows.astype(jnp.int32), P)
+
+
+def row_gather(P: jnp.ndarray, rows: jnp.ndarray,
+               use_pallas: bool = None) -> jnp.ndarray:
+    """Dynamic row gather with automatic backend dispatch."""
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if use_pallas:
+        return row_gather_pallas(P, rows, interpret=not _on_tpu())
+    return row_gather_ref(P, rows)
+
+
+# ---------------------------------------------------------------------------
 # RANSAC hypothesis scoring: inlier counts for NH lines over B beams
 # ---------------------------------------------------------------------------
 

@@ -234,6 +234,77 @@ def stage_d(K=10000, M=2048, G=4, cov="f32"):
          "ms": round(1e3 * (t_chunk - t_corr), 3)})
 
 
+# ---------------------------------------------------------------------------
+# Stage G: row-gather showdown — XLA take vs the scalar-prefetch Pallas
+# DMA pipeline (wire-or-retire, VERDICT item 5)
+# ---------------------------------------------------------------------------
+
+def stage_g(K=10000, M=2048, G=4):
+    from ekf_slam_tpu.ops.pallas.kernels import row_gather_pallas
+
+    for cov in ("f32", "bf16"):
+        params = EKFParams(
+            capacity=K, association="ml", s_cost=1e6, s_thresh=1e12,
+            ref_compat=False, dtype=jnp.float32, pht_mode="rows",
+            update_chunks=G,
+            cov_dtype=jnp.bfloat16 if cov == "bf16" else None)
+        state = bench.make_full_state(params, K)
+        m = M // G
+        zs = jnp.asarray(bench.make_measurements(state, K, M),
+                         params.dtype)
+        slots = jnp.clip(zs[:m, 2].astype(jnp.int32) - 1, 0, K - 1)
+        rows = 3 + 2 * slots
+        rp = (rows[:, None] + jnp.arange(2)[None, :]).reshape(-1)
+        N_IT = 16
+
+        # isolated gather: take vs pallas
+        for name, fn in (("take", lambda P: jnp.take(P, rp, axis=0)),
+                         ("pallas", lambda P: row_gather_pallas(P, rp))):
+            def run(st):
+                def it(c, _):
+                    g = fn(c.P)
+                    return c._replace(
+                        x=c.x.at[0].add(jnp.sum(g[0, :3].astype(
+                            jnp.float32)) * 1e-20)), None
+                return jax.lax.scan(it, st, None, length=N_IT)[0]
+            try:
+                dt = _time(jax.jit(run), state) / N_IT
+                gb = rp.shape[0] * state.P.shape[1] * state.P.dtype.itemsize
+                log({"stage": "G", "cov": cov, "gather": name,
+                     "ms": round(1e3 * dt, 3),
+                     "GBps": round(gb / dt / 1e9, 1)})
+            except Exception as e:
+                log({"stage": "G", "cov": cov, "gather": name,
+                     "error": repr(e)[:200]})
+
+        # full gate+chunked-update throughput with each gather backend
+        rc0, rc1 = params.rc
+        n_batches = 8
+        zs_all = jnp.asarray(bench.make_measurements(
+            state, K, n_batches * M).reshape(n_batches, M, 3), params.dtype)
+        for name in ("take", "pallas"):
+            p = dataclasses.replace(params, rows_gather=name)
+
+            def one_batch(st, zsb):
+                Rs = jax.vmap(lambda z: jnp.diag(
+                    jnp.stack([z[0] * rc0, z[1] * rc1])))(zsb).astype(
+                        p.dtype)
+                is_new, sl = gate_batch(st, zsb, Rs, p)
+                from ekf_slam_tpu.models.batched import update_chunked
+                return update_chunked(st, zsb, sl, Rs, ~is_new, p), None
+
+            try:
+                run = jax.jit(
+                    lambda st, zb: jax.lax.scan(one_batch, st, zb)[0])
+                dt = _time(run, state, zs_all)
+                log({"stage": "G", "cov": cov, "chain": name, "M": M,
+                     "G": G, "updates_per_sec":
+                     round(n_batches * M / dt, 1)})
+            except Exception as e:
+                log({"stage": "G", "cov": cov, "chain": name,
+                     "error": repr(e)[:200]})
+
+
 def main():
     plat = jax.devices()[0].platform
     want = sys.argv[1] if len(sys.argv) > 1 else "AC"
@@ -247,6 +318,8 @@ def main():
             elif s == "D":
                 stage_d(cov="f32")
                 stage_d(cov="bf16")
+            elif s == "G":
+                stage_g()
         except Exception as e:  # keep later stages alive through tunnel rot
             log({"stage": s, "error": repr(e)[:300]})
 

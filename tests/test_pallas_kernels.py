@@ -101,3 +101,61 @@ def test_score_lines_counts_known_geometry():
     out_p = kernels.score_lines_pallas(jnp.asarray(pts), valid, lines,
                                        0.25, interpret=True)
     np.testing.assert_array_equal(np.asarray(out_p), [100, 50])
+
+
+def test_row_gather_matches_take():
+    """Scalar-prefetch DMA row gather ≡ jnp.take on arbitrary row sets
+    (duplicates and out-of-order included), interpret mode on CPU."""
+    import numpy as np
+    from ekf_slam_tpu.ops.pallas.kernels import (row_gather_pallas,
+                                                 row_gather_ref)
+    rng = np.random.default_rng(3)
+    P = jnp.asarray(rng.normal(size=(37, 131)), jnp.float32)
+    rows = jnp.asarray([5, 5, 0, 36, 17, 2, 36, 9], jnp.int32)
+    out = row_gather_pallas(P, rows, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(row_gather_ref(P, rows)))
+
+
+def test_rows_gather_pallas_update_parity():
+    """pht_mode='rows' + rows_gather='pallas' produces the same update as
+    the take path (full batched update, f64)."""
+    import dataclasses
+    import numpy as np
+    from ekf_slam_tpu.config import EKFParams
+    from ekf_slam_tpu.models import batched
+    from test_batched import measurement_of
+    from test_ekf_core import make_pair
+
+    base = EKFParams(capacity=8, max_obs=4, ref_compat=False,
+                     dtype=jnp.float64, pht_mode="rows")
+    state, _ = make_pair(4, seed=6)
+    zs = []
+    for i, slot in enumerate([0, 2, 3]):
+        z = measurement_of(state, slot)
+        z[0] += 0.04 * (i + 1)
+        zs.append(z)
+    zs = jnp.asarray(np.stack(zs))
+    slots = jnp.asarray([0, 2, 3], jnp.int32)
+    Rs = jnp.asarray(np.stack([np.diag([z[0] * 0.1, abs(z[1]) * 5.0])
+                               for z in np.asarray(zs)]))
+    valid = jnp.ones((3,), bool)
+    a = batched.update_batch(state, zs, slots, Rs, valid, base)
+    b = batched.update_batch(
+        state, zs, slots, Rs, valid,
+        dataclasses.replace(base, rows_gather="pallas"))
+    np.testing.assert_allclose(np.asarray(a.P), np.asarray(b.P),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_rows_gather_validation():
+    import pytest
+    from ekf_slam_tpu.config import EKFParams
+    with pytest.raises(ValueError, match="rows_gather"):
+        EKFParams(rows_gather="magic")
+    with pytest.raises(ValueError, match="rows_gather"):
+        EKFParams(rows_gather="pallas")        # dense pht, not srekf_fast
+    EKFParams(rows_gather="pallas", pht_mode="rows")
+    EKFParams(rows_gather="pallas", update_mode="srekf_fast")
