@@ -97,11 +97,11 @@ def _hs_rows(S: jnp.ndarray, x: jnp.ndarray, zs: jnp.ndarray,
     nu = (nu * vmask[:, None]).reshape(2 * M)
 
     rows = 3 + 2 * slots                                       # i32[M]
-    rp = (rows[:, None] + jnp.arange(2)[None, :]).reshape(-1)  # [2M]
     if params.rows_gather == "pallas":
-        from ..ops.pallas.kernels import row_gather
-        Slm = row_gather(S, rp).reshape(M, 2, D).astype(dt)
+        from ..ops.pallas.kernels import pair_gather
+        Slm = pair_gather(S, rows).reshape(M, 2, D).astype(dt)
     else:
+        rp = (rows[:, None] + jnp.arange(2)[None, :]).reshape(-1)
         Slm = jnp.take(S, rp, axis=0).reshape(M, 2, D).astype(dt)
     Spose = S[:3].astype(dt)                                   # [3,D]
     HS = (jnp.einsum("mij,jd->mid", A, Spose)

@@ -110,55 +110,113 @@ def cov_update(P: jnp.ndarray, K: jnp.ndarray, V: jnp.ndarray,
 # Dynamic row gather: out[i, :] = P[rows[i], :]  (scalar-prefetch DMA)
 # ---------------------------------------------------------------------------
 
-def row_gather_ref(P: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
-    """jnp reference / CPU fallback (XLA's take lowering)."""
-    return jnp.take(P, rows, axis=0)
+def pair_gather_ref(P: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
+    """jnp reference / CPU fallback (XLA's take lowering):
+    out[2i:2i+2] = P[starts[i]:starts[i]+2]."""
+    rp = (starts[:, None] + jnp.arange(2)[None, :]).reshape(-1)
+    return jnp.take(P, rp, axis=0)
 
 
-def _row_gather_kernel(rows_ref, p_ref, o_ref):
-    # the BlockSpec index_map already steered the DMA to row rows[i];
-    # the body is a pure VMEM copy
-    o_ref[...] = p_ref[...]
+def _pair_gather_kernel(rows_ref, p_ref, o_ref, scratch, sems, *,
+                        pairs, tile):
+    """Per pair: DMA the ``tile``-row aligned window containing the pair
+    start from HBM (plus the next window when the pair straddles the
+    boundary), then rotate the window so the pair lands at rows 0:2 and
+    write it to the output block.  HBM slices stay tile-aligned — the
+    constraint that rejects per-row DMA — while the misaligned select
+    happens on VMEM vectors via tpu.dynamic_rotate."""
+    i = pl.program_id(0)
+    for j in range(pairs):                         # static unroll
+        r = rows_ref[i * pairs + j]
+        b = (r // tile) * tile
+        pltpu.make_async_copy(p_ref.at[pl.ds(b, tile)],
+                              scratch.at[j, pl.ds(0, tile)],
+                              sems.at[2 * j]).start()
+
+        @pl.when((r - b) == tile - 1)              # pair straddles window
+        def _():
+            pltpu.make_async_copy(p_ref.at[pl.ds(b + tile, tile)],
+                                  scratch.at[j, pl.ds(tile, tile)],
+                                  sems.at[2 * j + 1]).start()
+    for j in range(pairs):
+        r = rows_ref[i * pairs + j]
+        b = (r // tile) * tile
+        pltpu.make_async_copy(p_ref.at[pl.ds(b, tile)],
+                              scratch.at[j, pl.ds(0, tile)],
+                              sems.at[2 * j]).wait()
+
+        @pl.when((r - b) == tile - 1)
+        def _():
+            pltpu.make_async_copy(p_ref.at[pl.ds(b + tile, tile)],
+                                  scratch.at[j, pl.ds(tile, tile)],
+                                  sems.at[2 * j + 1]).wait()
+        rolled = pltpu.roll(scratch[j], shift=-(r - b), axis=0)
+        o_ref[2 * j:2 * j + 2, :] = rolled[0:2, :]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def row_gather_pallas(P: jnp.ndarray, rows: jnp.ndarray,
-                      interpret: bool = False) -> jnp.ndarray:
-    """Pipelined dynamic row gather via scalar-prefetched index maps.
+def pair_gather_pallas(P: jnp.ndarray, starts: jnp.ndarray,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Row-pair gather as a manual DMA pipeline (out[2i:2i+2] =
+    P[starts[i]:starts[i]+2]).
 
-    ``pht_mode='rows'`` reads the 2M observed rows of P each chunk
-    (models/batched.hp_from_rows).  XLA lowers ``jnp.take`` to a gather
-    that measured only ~37 GB/s on chip at 10k landmarks (stage D,
-    experiments/chip_r3.py) — 3-5× below the elementwise stream rate.
-    Here the row indices are scalar-prefetched into SMEM so each grid
-    step's input BlockSpec can point its DMA straight at row
-    ``rows[i]``: the gather becomes a double-buffered DMA pipeline with
-    a no-op body, running at copy rate."""
-    N = rows.shape[0]
+    ``pht_mode='rows'`` reads one contiguous row pair of P per gated
+    landmark each chunk (models/batched.hp_from_rows).  XLA lowers the
+    ``take`` to a gather that measured only ~25-43 GB/s on chip at 10k
+    landmarks (stages D/G, experiments/chip_r3.py) — 3-5× below the
+    elementwise stream rate.  Here the pair starts are scalar-prefetched
+    into SMEM and the source stays in HBM; each grid step DMAs the
+    tile-aligned windows covering its pairs concurrently and selects the
+    pairs by dynamic rotate (single-row HBM slices are illegal — window
+    slices keep every DMA tile-aligned).  Bytes moved are tile/2× the
+    minimal gather, but at DMA copy rate rather than gather rate.
+
+    Measured verdict (chip, K=10k, 512 pairs, D=20096, f32): take
+    2.06 ms (40 GB/s useful) vs this kernel 2.61 ms (31 GB/s useful) —
+    the 4× window-byte amplification that tile alignment forces cancels
+    the copy-rate advantage, so XLA's take KEEPS the default
+    (``EKFParams.rows_gather='take'``); this kernel stays as the
+    measured experiment (r2 wire-or-retire discipline).  The gather is
+    ~6% of the rows-mode chain anyway — stage D shows the correction
+    GEMM at ~86% of the matmul roof, so the chain is within ~15% of its
+    compute ceiling.
+
+    Requirements (else callers fall back to ``take``): P's row count a
+    multiple of the sublane tile (8 f32 / 16 bf16), its width a multiple
+    of the 128 lane tile (both via init_state
+    ``pad_to_multiple_of=128``), #pairs a multiple of tile/2, and every
+    start < Dtot−1."""
     D = P.shape[1]
+    Dtot = P.shape[0]
+    M = starts.shape[0]
+    tile = 16 if P.dtype == jnp.bfloat16 else 8
+    pairs = tile // 2                              # out block = tile rows
+    if M % pairs or Dtot % tile or D % 128:
+        return pair_gather_ref(P, starts)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(N,),
-        in_specs=[pl.BlockSpec((1, D), lambda i, rows_ref:
-                               (rows_ref[i], 0))],
-        out_specs=pl.BlockSpec((1, D), lambda i, rows_ref: (i, 0)),
+        grid=(M // pairs,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((2 * pairs, D), lambda i, rows_ref: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((pairs, 2 * tile, D), P.dtype),
+                        pltpu.SemaphoreType.DMA((2 * pairs,))],
     )
     return pl.pallas_call(
-        _row_gather_kernel,
+        functools.partial(_pair_gather_kernel, pairs=pairs, tile=tile),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N, D), P.dtype),
+        out_shape=jax.ShapeDtypeStruct((2 * M, D), P.dtype),
         interpret=interpret,
-    )(rows.astype(jnp.int32), P)
+    )(starts.astype(jnp.int32), P)
 
 
-def row_gather(P: jnp.ndarray, rows: jnp.ndarray,
-               use_pallas: bool = None) -> jnp.ndarray:
-    """Dynamic row gather with automatic backend dispatch."""
+def pair_gather(P: jnp.ndarray, starts: jnp.ndarray,
+                use_pallas: bool = None) -> jnp.ndarray:
+    """Row-pair gather with automatic backend dispatch."""
     if use_pallas is None:
         use_pallas = _on_tpu()
     if use_pallas:
-        return row_gather_pallas(P, rows, interpret=not _on_tpu())
-    return row_gather_ref(P, rows)
+        return pair_gather_pallas(P, starts, interpret=not _on_tpu())
+    return pair_gather_ref(P, starts)
 
 
 # ---------------------------------------------------------------------------

@@ -239,8 +239,19 @@ def stage_d(K=10000, M=2048, G=4, cov="f32"):
 # DMA pipeline (wire-or-retire, VERDICT item 5)
 # ---------------------------------------------------------------------------
 
+def _pad_rows(st, mult=128):
+    """Pad the state dim to a multiple of ``mult`` (zero rows/cols), the
+    layout the pallas pair gather needs (init_state pad_to_multiple_of
+    equivalent for an already-built state)."""
+    D = st.dim
+    Dp = ((D + mult - 1) // mult) * mult
+    x = jnp.zeros((Dp,), st.x.dtype).at[:D].set(st.x)
+    P = jnp.zeros((Dp, Dp), st.P.dtype).at[:D, :D].set(st.P)
+    return st._replace(x=x, P=P)
+
+
 def stage_g(K=10000, M=2048, G=4):
-    from ekf_slam_tpu.ops.pallas.kernels import row_gather_pallas
+    from ekf_slam_tpu.ops.pallas.kernels import pair_gather_pallas
 
     for cov in ("f32", "bf16"):
         params = EKFParams(
@@ -248,7 +259,7 @@ def stage_g(K=10000, M=2048, G=4):
             ref_compat=False, dtype=jnp.float32, pht_mode="rows",
             update_chunks=G,
             cov_dtype=jnp.bfloat16 if cov == "bf16" else None)
-        state = bench.make_full_state(params, K)
+        state = _pad_rows(bench.make_full_state(params, K))
         m = M // G
         zs = jnp.asarray(bench.make_measurements(state, K, M),
                          params.dtype)
@@ -259,7 +270,8 @@ def stage_g(K=10000, M=2048, G=4):
 
         # isolated gather: take vs pallas
         for name, fn in (("take", lambda P: jnp.take(P, rp, axis=0)),
-                         ("pallas", lambda P: row_gather_pallas(P, rp))):
+                         ("pallas",
+                          lambda P: pair_gather_pallas(P, rows))):
             def run(st):
                 def it(c, _):
                     g = fn(c.P)

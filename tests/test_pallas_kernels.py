@@ -103,18 +103,25 @@ def test_score_lines_counts_known_geometry():
     np.testing.assert_array_equal(np.asarray(out_p), [100, 50])
 
 
-def test_row_gather_matches_take():
-    """Scalar-prefetch DMA row gather ≡ jnp.take on arbitrary row sets
-    (duplicates and out-of-order included), interpret mode on CPU."""
+def test_pair_gather_matches_take():
+    """Scalar-prefetch DMA pair gather ≡ jnp.take on arbitrary pair-start
+    sets (duplicates, out-of-order, window-straddling starts included),
+    interpret mode on CPU."""
     import numpy as np
-    from ekf_slam_tpu.ops.pallas.kernels import (row_gather_pallas,
-                                                 row_gather_ref)
+    from ekf_slam_tpu.ops.pallas.kernels import (pair_gather_pallas,
+                                                 pair_gather_ref)
     rng = np.random.default_rng(3)
-    P = jnp.asarray(rng.normal(size=(37, 131)), jnp.float32)
-    rows = jnp.asarray([5, 5, 0, 36, 17, 2, 36, 9], jnp.int32)
-    out = row_gather_pallas(P, rows, interpret=True)
+    P = jnp.asarray(rng.normal(size=(64, 131)), jnp.float32)
+    # 15 and 23 straddle their 8-row windows (start % 8 == 7)
+    starts = jnp.asarray([5, 15, 0, 23, 17, 2, 62, 9], jnp.int32)
+    out = pair_gather_pallas(P, starts, interpret=True)
     np.testing.assert_array_equal(np.asarray(out),
-                                  np.asarray(row_gather_ref(P, rows)))
+                                  np.asarray(pair_gather_ref(P, starts)))
+    # non-divisible row count falls back to the reference path
+    P_odd = jnp.asarray(rng.normal(size=(37, 131)), jnp.float32)
+    out2 = pair_gather_pallas(P_odd, starts[:4], interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(out2), np.asarray(pair_gather_ref(P_odd, starts[:4])))
 
 
 def test_rows_gather_pallas_update_parity():
