@@ -8,7 +8,10 @@ with the rest of the set in ``extra``:
   * ``ekf_updates_per_sec_chip_10000_landmarks`` (primary): ML gate over
     all K landmarks (Correspondence.m:49-87 equivalent) + joint Kalman
     update of the (3+2K)-dim covariance (EKF_SLAM_UC.m:125-146
-    equivalent), batched M=512 — the per-chip scaling headline;
+    equivalent) at the measured-fastest schedule — round 3: M=4096,
+    chunk-512, rows-mode P·Hᵀ, bf16 P storage
+    (utils/schedule.recommended_schedule) — the per-chip scaling
+    headline;
   * ``updates_per_sec_1k``: same at 1k landmarks (M=2048, chunk-256
     scheduling — the solve-bound regime);
   * ``frames_per_sec``: full session pipeline (odometry → predict →
@@ -78,6 +81,8 @@ def _defaults(K: int):
     chunks = int(os.environ.get("BENCH_CHUNKS", s["update_chunks"]))
     pht = os.environ.get("BENCH_PHT", s["pht_mode"])
     env_cd = os.environ.get("BENCH_COV_DTYPE")
+    if env_cd not in (None, "bf16", "f32", "none"):
+        raise SystemExit(f"BENCH_COV_DTYPE={env_cd!r}: use bf16|f32")
     cov = (jnp.bfloat16 if env_cd == "bf16"
            else None if env_cd in ("f32", "none")
            else s["cov_dtype"])

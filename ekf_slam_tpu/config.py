@@ -99,11 +99,13 @@ class EKFParams:
     #:             ref-compat path keeps 'dense' semantics.
     pht_mode: str = "dense"
 
-    #: how rows-mode paths gather the observed rows of P (or of the factor
-    #: S in srekf_fast): 'take' uses XLA's gather lowering; 'pallas' uses
-    #: the scalar-prefetch DMA-pipeline kernel
-    #: (ops/pallas/kernels.row_gather_pallas) — measured chip numbers in
-    #: BASELINE.md decide the recommended setting.
+    #: how rows-mode paths gather the observed row pairs of P (or of the
+    #: factor S in srekf_fast): 'take' uses XLA's gather lowering — the
+    #: measured default (BASELINE.md round-3 wire-or-retire); 'pallas'
+    #: uses the scalar-prefetch DMA-window kernel
+    #: (ops/pallas/kernels.pair_gather_pallas), which requires a state
+    #: padded via ``init_state(pad_to_multiple_of=128)`` — unpadded
+    #: shapes warn and fall back to 'take'.
     rows_gather: str = "take"
 
     #: failure detection (utils/faults.py): if set, a tick whose measurement

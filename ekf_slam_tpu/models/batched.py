@@ -119,13 +119,9 @@ def hp_from_rows(P: jnp.ndarray, x: jnp.ndarray, zs: jnp.ndarray,
     nu = (nu * vmask[:, None]).reshape(2 * M)
 
     rows = 3 + 2 * slots                                       # i32[M]
-    if params.rows_gather == "pallas":
-        # scalar-prefetch DMA pipeline (ops/pallas/kernels.pair_gather)
-        from ..ops.pallas.kernels import pair_gather
-        Plm = pair_gather(P, rows).reshape(M, 2, D).astype(dt)
-    else:
-        rp = (rows[:, None] + jnp.arange(2)[None, :]).reshape(-1)
-        Plm = jnp.take(P, rp, axis=0).reshape(M, 2, D).astype(dt)
+    from ..ops.pallas.kernels import gather_pairs
+    Plm = gather_pairs(P, rows, params.rows_gather).reshape(
+        M, 2, D).astype(dt)
     Ppose = P[:3].astype(dt)                                   # [3,D]
     HP = (jnp.einsum("mij,jd->mid", A, Ppose)
           + jnp.einsum("mij,mjd->mid", B, Plm)).reshape(2 * M, D)

@@ -97,12 +97,9 @@ def _hs_rows(S: jnp.ndarray, x: jnp.ndarray, zs: jnp.ndarray,
     nu = (nu * vmask[:, None]).reshape(2 * M)
 
     rows = 3 + 2 * slots                                       # i32[M]
-    if params.rows_gather == "pallas":
-        from ..ops.pallas.kernels import pair_gather
-        Slm = pair_gather(S, rows).reshape(M, 2, D).astype(dt)
-    else:
-        rp = (rows[:, None] + jnp.arange(2)[None, :]).reshape(-1)
-        Slm = jnp.take(S, rp, axis=0).reshape(M, 2, D).astype(dt)
+    from ..ops.pallas.kernels import gather_pairs
+    Slm = gather_pairs(S, rows, params.rows_gather).reshape(
+        M, 2, D).astype(dt)
     Spose = S[:3].astype(dt)                                   # [3,D]
     HS = (jnp.einsum("mij,jd->mid", A, Spose)
           + jnp.einsum("mij,mjd->mid", B, Slm)).reshape(2 * M, D)

@@ -192,11 +192,18 @@ def pair_gather_pallas(P: jnp.ndarray, starts: jnp.ndarray,
     tile = 16 if P.dtype == jnp.bfloat16 else 8
     pairs = tile // 2                              # out block = tile rows
     if M % pairs or Dtot % tile or D % 128:
+        import warnings
+        warnings.warn(
+            f"pair_gather_pallas falling back to jnp.take: shape "
+            f"({Dtot},{D})/{M} pairs violates the tile constraints "
+            f"(rows%{tile}, width%128, pairs%{pairs}); pad the state "
+            "with init_state(pad_to_multiple_of=128) to engage the "
+            "kernel", stacklevel=2)
         return pair_gather_ref(P, starts)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(M // pairs,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((2 * pairs, D), lambda i, rows_ref: (i, 0)),
         scratch_shapes=[pltpu.VMEM((pairs, 2 * tile, D), P.dtype),
                         pltpu.SemaphoreType.DMA((2 * pairs,))],
@@ -217,6 +224,16 @@ def pair_gather(P: jnp.ndarray, starts: jnp.ndarray,
     if use_pallas:
         return pair_gather_pallas(P, starts, interpret=not _on_tpu())
     return pair_gather_ref(P, starts)
+
+
+def gather_pairs(P: jnp.ndarray, starts: jnp.ndarray, mode: str
+                 ) -> jnp.ndarray:
+    """The rows-mode gather dispatch shared by batched.hp_from_rows and
+    srekf_fast._hs_rows: ``mode`` is ``EKFParams.rows_gather``."""
+    if mode == "pallas":
+        return pair_gather(P, starts)
+    rp = (starts[:, None] + jnp.arange(2)[None, :]).reshape(-1)
+    return jnp.take(P, rp, axis=0)
 
 
 # ---------------------------------------------------------------------------

@@ -75,16 +75,22 @@ class SubmapSlam:
     max_landmarks_per_submap: int = 24
     ticks_per_submap: int = 200
     seed: int = 0
+    #: dtype for the pose-graph/loop-closure math; None follows the
+    #: filter dtype.  Pass jnp.float64 explicitly on x64-enabled hosts
+    #: to optimize the graph in double even for an f32 filter.
+    graph_dtype: Optional[object] = None
 
     def __post_init__(self):
         self.session = SlamSession(ekf_params=self.ekf_params,
                                    ransac_params=self.ransac_params,
                                    seed=self.seed)
         self.ekf_params = self.session.ekf_params
-        # pose-graph dtype follows the filter params: hard-coded f64 here
-        # used to emit truncation warnings (and silently compute f32)
-        # whenever x64 is disabled — exactly the multichip dryrun setting
-        self._dt = self.ekf_params.dtype
+        # pose-graph dtype follows the filter params unless overridden:
+        # hard-coded f64 here used to emit truncation warnings (and
+        # silently compute f32) whenever x64 is disabled — exactly the
+        # multichip dryrun setting
+        self._dt = (self.graph_dtype if self.graph_dtype is not None
+                    else self.ekf_params.dtype)
         self.graph = pg.init_graph(256, 1024, self._dt)
         self.submaps: List[Submap] = []
         self._anchor = np.zeros(3)

@@ -235,6 +235,80 @@ def stage_d(K=10000, M=2048, G=4, cov="f32"):
 
 
 # ---------------------------------------------------------------------------
+# Stage H: beyond the 10k north star — single-chip capacity ceiling
+# (20k/32k landmarks, bf16 P) + srekf_fast at 1k
+# ---------------------------------------------------------------------------
+
+def stage_h():
+    from ekf_slam_tpu.models.batched import update_chunked
+
+    # capacity scaling: the reference's rank-growing dense filter cannot
+    # reach these at ANY speed; one v5e chip holds P up to ~32k bf16
+    for K, M, G in ((20000, 4096, 8), (32000, 4096, 8)):
+        try:
+            params = EKFParams(
+                capacity=K, association="ml", s_cost=1e6, s_thresh=1e12,
+                ref_compat=False, dtype=jnp.float32, pht_mode="rows",
+                update_chunks=G, cov_dtype=jnp.bfloat16)
+            state = bench.make_full_state(params, K)
+            jax.block_until_ready(state.P)
+            rc0, rc1 = params.rc
+            n_batches = 4
+            zs_all = jnp.asarray(bench.make_measurements(
+                state, K, n_batches * M).reshape(n_batches, M, 3),
+                params.dtype)
+
+            def one_batch(st, zsb):
+                Rs = jax.vmap(lambda z: jnp.diag(
+                    jnp.stack([z[0] * rc0, z[1] * rc1])))(zsb).astype(
+                        params.dtype)
+                is_new, sl = gate_batch(st, zsb, Rs, params)
+                return update_chunked(st, zsb, sl, Rs, ~is_new,
+                                      params), None
+
+            run = jax.jit(lambda st, zb: jax.lax.scan(one_batch,
+                                                      st, zb)[0])
+            dt = _time(run, state, zs_all)
+            log({"stage": "H", "K": K, "M": M, "G": G, "cov": "bf16",
+                 "P_gb": round((3 + 2 * K) ** 2 * 2 / 1e9, 1),
+                 "updates_per_sec": round(n_batches * M / dt, 1)})
+            del state, zs_all
+        except Exception as e:
+            log({"stage": "H", "K": K, "error": repr(e)[:300]})
+
+    # srekf_fast at 1k (the QR srekf measured 26.5k at M=256)
+    try:
+        K, M, G = 1000, 2048, 8
+        params = EKFParams(
+            capacity=K, association="ml", s_cost=1e6, s_thresh=1e12,
+            ref_compat=False, update_mode="srekf_fast",
+            update_chunks=G, dtype=jnp.float32)
+        state = make_sr_state(params, K)
+        rc0, rc1 = params.rc
+        n_batches = 64
+        zs_all = jnp.asarray(bench.make_measurements(
+            state, K, n_batches * M).reshape(n_batches, M, 3),
+            params.dtype)
+
+        def one_batch(st, zsb):
+            Rs = jax.vmap(lambda z: jnp.diag(
+                jnp.stack([z[0] * rc0, z[1] * rc1])))(zsb).astype(
+                    params.dtype)
+            strips = sr_strips(st.P, K, triangular=False)
+            is_new, sl = gate_batch(st, zsb, Rs, params, strips=strips)
+            return sr_update_chunked(st, zsb, sl, Rs, ~is_new,
+                                     params), None
+
+        run = jax.jit(lambda st, zb: jax.lax.scan(one_batch, st, zb)[0])
+        dt = _time(run, state, zs_all)
+        log({"stage": "H", "mode": "srekf_fast", "K": K, "M": M, "G": G,
+             "updates_per_sec": round(n_batches * M / dt, 1)})
+    except Exception as e:
+        log({"stage": "H", "mode": "srekf_fast_1k",
+             "error": repr(e)[:300]})
+
+
+# ---------------------------------------------------------------------------
 # Stage G: row-gather showdown — XLA take vs the scalar-prefetch Pallas
 # DMA pipeline (wire-or-retire, VERDICT item 5)
 # ---------------------------------------------------------------------------
@@ -332,6 +406,8 @@ def main():
                 stage_d(cov="bf16")
             elif s == "G":
                 stage_g()
+            elif s == "H":
+                stage_h()
         except Exception as e:  # keep later stages alive through tunnel rot
             log({"stage": s, "error": repr(e)[:300]})
 

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ekf_slam_tpu.ops.pallas import kernels
 
@@ -106,27 +107,43 @@ def test_score_lines_counts_known_geometry():
 def test_pair_gather_matches_take():
     """Scalar-prefetch DMA pair gather ≡ jnp.take on arbitrary pair-start
     sets (duplicates, out-of-order, window-straddling starts included),
-    interpret mode on CPU."""
+    interpret mode on CPU.  Shapes satisfy the tile constraints
+    (rows % 8 == 0, width % 128 == 0) so the KERNEL runs, not the
+    fallback."""
+    import warnings
+
     import numpy as np
     from ekf_slam_tpu.ops.pallas.kernels import (pair_gather_pallas,
                                                  pair_gather_ref)
     rng = np.random.default_rng(3)
-    P = jnp.asarray(rng.normal(size=(64, 131)), jnp.float32)
+    P = jnp.asarray(rng.normal(size=(64, 256)), jnp.float32)
     # 15 and 23 straddle their 8-row windows (start % 8 == 7)
     starts = jnp.asarray([5, 15, 0, 23, 17, 2, 62, 9], jnp.int32)
-    out = pair_gather_pallas(P, starts, interpret=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")       # a fallback warning = failure
+        out = pair_gather_pallas(P, starts, interpret=True)
     np.testing.assert_array_equal(np.asarray(out),
                                   np.asarray(pair_gather_ref(P, starts)))
-    # non-divisible row count falls back to the reference path
+    # bf16 (16-row tile, 8 pairs/step) through the kernel as well
+    Pb = P.astype(jnp.bfloat16)
+    sb = jnp.asarray([5, 15, 31, 23, 17, 2, 62, 9], jnp.int32)  # 31%16==15
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        outb = pair_gather_pallas(Pb, sb, interpret=True)
+    np.testing.assert_array_equal(np.asarray(outb),
+                                  np.asarray(pair_gather_ref(Pb, sb)))
+    # non-divisible shapes WARN and fall back to the reference path
     P_odd = jnp.asarray(rng.normal(size=(37, 131)), jnp.float32)
-    out2 = pair_gather_pallas(P_odd, starts[:4], interpret=True)
+    with pytest.warns(UserWarning, match="falling back"):
+        out2 = pair_gather_pallas(P_odd, starts[:4], interpret=True)
     np.testing.assert_array_equal(
         np.asarray(out2), np.asarray(pair_gather_ref(P_odd, starts[:4])))
 
 
 def test_rows_gather_pallas_update_parity():
     """pht_mode='rows' + rows_gather='pallas' produces the same update as
-    the take path (full batched update, f64)."""
+    the take path (full batched update, f64) — the state is padded to
+    the 128 tile so the Pallas kernel (not the fallback) runs."""
     import dataclasses
     import numpy as np
     from ekf_slam_tpu.config import EKFParams
@@ -137,6 +154,12 @@ def test_rows_gather_pallas_update_parity():
     base = EKFParams(capacity=8, max_obs=4, ref_compat=False,
                      dtype=jnp.float64, pht_mode="rows")
     state, _ = make_pair(4, seed=6)
+    # embed into a 128-dim padded state (init_state pad_to_multiple_of
+    # layout): rows/width hit the kernel's tile constraints
+    D0 = state.dim
+    state = state._replace(
+        x=jnp.zeros((128,), state.x.dtype).at[:D0].set(state.x),
+        P=jnp.zeros((128, 128), state.P.dtype).at[:D0, :D0].set(state.P))
     zs = []
     for i, slot in enumerate([0, 2, 3]):
         z = measurement_of(state, slot)
