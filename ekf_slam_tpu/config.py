@@ -108,6 +108,21 @@ class EKFParams:
     #: shapes warn and fall back to 'take'.
     rows_gather: str = "take"
 
+    #: how the batched update applies the rank-2M covariance correction
+    #: P ← P − PHᵀ·S⁻¹·(PHᵀ)ᵀ:
+    #:   'gemm' — XLA dense GEMM P − Kg·HP (full D²·2M flops);
+    #:   'syrk' — exploit the correction's symmetry: with S = L·Lᵀ the
+    #:            correction is W·Wᵀ (W = PHᵀ·L⁻ᵀ), and the Pallas SYRK
+    #:            kernel (ops/pallas/kernels.syrk_downdate) computes only
+    #:            the lower-triangle tiles and mirrors them — HALF the
+    #:            flops of the chain's dominant GEMM at 10k landmarks,
+    #:            and P leaves the update bit-symmetric (which
+    #:            pht_mode='rows' relies on).  Requires a state padded so
+    #:            D is a multiple of 128 (init_state(pad_to_multiple_of=
+    #:            128)); unpadded shapes warn and fall back to 'gemm'.
+    #:            Incompatible with joseph (its correction is not W·Wᵀ).
+    correction: str = "gemm"
+
     #: failure detection (utils/faults.py): if set, a tick whose measurement
     #: phase moves the pose more than this many meters — or produces
     #: non-finite state / negative covariance — is rolled back and treated
@@ -193,6 +208,18 @@ class EKFParams:
             raise ValueError(
                 "rows_gather='pallas' only applies to row-gathering paths "
                 "(pht_mode='rows' or update_mode='srekf_fast')")
+        if self.correction not in ("gemm", "syrk"):
+            raise ValueError(f"unknown correction {self.correction!r}")
+        if self.correction == "syrk" and self.joseph:
+            raise ValueError(
+                "correction='syrk' computes the plain symmetric downdate "
+                "W·Wᵀ; the Joseph form's correction is not of that shape — "
+                "unset joseph (syrk already preserves symmetry exactly)")
+        if self.correction == "syrk" and self.update_mode in (
+                "srekf", "srekf_fast"):
+            raise ValueError(
+                "correction='syrk' applies to the dense batched update "
+                "only; square-root modes never form the dense correction")
         if self.update_mode == "srekf" and self.update_chunks > 1:
             raise ValueError(
                 "update_chunks is not supported by the QR srekf path "

@@ -196,6 +196,23 @@ def update_batch(state: FilterState, zs: jnp.ndarray, slots: jnp.ndarray,
     L = jnp.linalg.cholesky(S)
     Linv = lax.linalg.triangular_solve(
         L, jnp.eye(2 * zs.shape[0], dtype=ct), left_side=True, lower=True)
+
+    if params.correction == "syrk":
+        # Symmetric-downdate form: Kg·(H·P) = PHᵀ·S⁻¹·(PHᵀ)ᵀ = W·Wᵀ with
+        # W = PHᵀ·L⁻ᵀ, so the correction runs as a Pallas SYRK that
+        # computes only lower-triangle tiles and mirrors them — half the
+        # MXU flops of the dense Kg·HP GEMM, bit-symmetric output (see
+        # ops/pallas/kernels.syrk_downdate).  The mean uses the same
+        # factor: Kg·nu = W·(L⁻¹·nu) — no S⁻¹ or Kg is ever formed.
+        from ..ops.pallas.kernels import syrk_downdate
+        W = PHt @ Linv.T                                       # [D,2M] MXU
+        x = x + W @ (Linv @ nu)
+        Wk = W.astype(jnp.bfloat16) if fast16 else W
+        P = syrk_downdate(P, Wk)
+        if params.symmetrize:
+            P = 0.5 * (P + P.T)
+        return state._replace(x=x, P=P)
+
     Sinv = Linv.T @ Linv                                       # [2M,2M] MXU
     Kg = PHt @ Sinv                                            # [D,2M] MXU
 

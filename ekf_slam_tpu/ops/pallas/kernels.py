@@ -107,6 +107,169 @@ def cov_update(P: jnp.ndarray, K: jnp.ndarray, V: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Symmetric rank-R downdate (SYRK): P <- P - W @ W.T, half the MXU flops
+# ---------------------------------------------------------------------------
+
+def syrk_downdate_ref(P: jnp.ndarray, W: jnp.ndarray) -> jnp.ndarray:
+    """jnp reference / CPU fallback: P − W·Wᵀ (accumulated in f32 when the
+    storage dtype is narrower, mirroring the batched path's GEMM policy)."""
+    acc = jnp.float32 if P.dtype in (jnp.bfloat16, jnp.float16) else P.dtype
+    C = jnp.matmul(W, W.T, preferred_element_type=acc)
+    return (P.astype(acc) - C).astype(P.dtype)
+
+
+def _syrk_kernel(wi_idx, wj_idx, ss_ref, pr_idx, pc_idx,
+                 p_ref, wi_ref, wj_ref, o_ref, acc_ref, *,
+                 mirror="mxu"):
+    """One grid step per (tile_i, tile_j) write of the output.
+
+    The step list visits each lower-triangle pair (i ≥ j) with s=0, which
+    computes acc = W_i·W_jᵀ on the MXU and writes block (i,j) = P_ij − acc;
+    strictly-lower pairs are immediately followed by an s=1 step that
+    writes the mirror block (j,i) = P_ji − accᵀ from the scratch
+    accumulator WITHOUT recomputing — so the MXU does T(T+1)/2 tile
+    contractions for T² tile writes: half the flops of the dense rank-R
+    GEMM.  Every output block is written by exactly one step and every P
+    block read by exactly one step (the s=1 read is the untouched upper
+    block), so there are no revisit hazards; acc persists across the two
+    consecutive steps of a pair (1-D grids execute sequentially)."""
+    k = pl.program_id(0)
+    s = ss_ref[k]
+    acc_dt = acc_ref.dtype          # f32 on chip; f64 under x64 tests
+
+    @pl.when(s == 0)
+    def _():
+        # contract both operands on their last (rank) axis — W_i·W_jᵀ
+        # without materializing a transpose
+        acc_ref[:] = jax.lax.dot_general(
+            wi_ref[:], wj_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=acc_dt)
+        o_ref[:] = (p_ref[:].astype(acc_dt) - acc_ref[:]
+                    ).astype(o_ref.dtype)
+
+    @pl.when(s == 1)
+    def _():
+        if mirror == "mxu":
+            # accᵀ as an identity contraction on the MXU: the VPU has no
+            # transpose unit, so a lane/sublane-shuffle transpose of a
+            # (512,512) f32 tile costs ~10× the equivalent MXU pass.  The
+            # eye-dot is EXACT (each output sums exactly one product
+            # acc[j,i]·1.0 in the accumulate dtype), preserving the
+            # bit-symmetry guarantee.
+            n = acc_ref.shape[0]
+            eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+                   == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+                   ).astype(acc_dt)
+            acc_t = jax.lax.dot_general(
+                acc_ref[:], eye, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=acc_dt)
+        else:
+            acc_t = acc_ref[:].T
+        o_ref[:] = (p_ref[:].astype(acc_dt) - acc_t).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret", "mirror"))
+def syrk_downdate_pallas(P: jnp.ndarray, W: jnp.ndarray, tile: int = 512,
+                         interpret: bool = False, mirror: str = "mxu"
+                         ) -> jnp.ndarray:
+    """P − W·Wᵀ exploiting symmetry: the correction is computed only for
+    lower-triangle tiles and mirrored, halving the dominant GEMM's flops.
+
+    This is the filter's irreducible rank-2M covariance correction
+    (models/batched.update_batch): Kg·(H·P) = PHᵀ·S⁻¹·(PHᵀ)ᵀ = W·Wᵀ with
+    W = PHᵀ·L⁻ᵀ (S = L·Lᵀ), so the downdate is symmetric by construction
+    — and this kernel makes the OUTPUT bit-symmetric too (the mirror
+    block is written from the same accumulator), which the rows-mode
+    P·Hᵀ-from-rows read depends on.
+
+    The P buffer is aliased in-place: one read + one write of P total.
+    Requires D % tile == 0 (init_state(pad_to_multiple_of=...)); the
+    rank R is zero-padded to the 128-lane tile internally."""
+    D = P.shape[0]
+    R = W.shape[1]
+    assert D % tile == 0, "caller guards (syrk_downdate dispatch)"
+    Rp = _round_up(R, 128)
+    if Rp != R:
+        W = jnp.zeros((D, Rp), W.dtype).at[:, :R].set(W)
+    T = D // tile
+
+    # Static step list: (wi, wj) pick the W tiles of the pair on BOTH
+    # steps (so the s=1 mirror step triggers no W refetch DMA); (pr, pc)
+    # are the P/output block coordinates — (i,j) at s=0, (j,i) at s=1.
+    wi, wj, ss, pr, pc = [], [], [], [], []
+    for i in range(T):
+        for j in range(i + 1):
+            wi.append(i), wj.append(j), ss.append(0)
+            pr.append(i), pc.append(j)
+            if i != j:
+                wi.append(i), wj.append(j), ss.append(1)
+                pr.append(j), pc.append(i)
+    wi = jnp.asarray(wi, jnp.int32)
+    wj = jnp.asarray(wj, jnp.int32)
+    ss = jnp.asarray(ss, jnp.int32)
+    pr = jnp.asarray(pr, jnp.int32)
+    pc = jnp.asarray(pc, jnp.int32)
+
+    def pmap_(k, wi_r, wj_r, ss_r, pr_r, pc_r):
+        return (pr_r[k], pc_r[k])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(T * T,),
+        in_specs=[
+            pl.BlockSpec((tile, tile), pmap_),
+            pl.BlockSpec((tile, Rp), lambda k, wi_r, *_: (wi_r[k], 0)),
+            pl.BlockSpec((tile, Rp), lambda k, wi_r, wj_r, *_:
+                         (wj_r[k], 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, tile), pmap_),
+        scratch_shapes=[pltpu.VMEM(
+            (tile, tile),
+            jnp.float64 if P.dtype == jnp.float64 else jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_syrk_kernel, mirror=mirror),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(P.shape, P.dtype),
+        input_output_aliases={5: 0},      # P (after the 5 scalar operands)
+        cost_estimate=pl.CostEstimate(
+            flops=D * (D + tile) * Rp,
+            bytes_accessed=2 * D * D * P.dtype.itemsize
+            + T * (T + 1) * tile * Rp * W.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(wi, wj, ss, pr, pc, P, W, W)
+
+
+def syrk_tile(D: int) -> int:
+    """Largest supported tile dividing D (0 if none — caller falls back)."""
+    for t in (512, 256, 128):
+        if D % t == 0:
+            return t
+    return 0
+
+
+def syrk_downdate(P: jnp.ndarray, W: jnp.ndarray,
+                  use_pallas: bool = None) -> jnp.ndarray:
+    """P − W·Wᵀ with automatic backend dispatch and shape guard."""
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    tile = syrk_tile(P.shape[0])
+    if not tile:
+        import warnings
+        warnings.warn(
+            f"syrk_downdate falling back to the dense GEMM: D={P.shape[0]} "
+            "is not a multiple of 128 — pad the state with "
+            "init_state(pad_to_multiple_of=128) to engage the kernel",
+            stacklevel=2)
+        return syrk_downdate_ref(P, W)
+    if use_pallas:
+        return syrk_downdate_pallas(P, W, tile=tile,
+                                    interpret=not _on_tpu())
+    return syrk_downdate_ref(P, W)
+
+
+# ---------------------------------------------------------------------------
 # Dynamic row gather: out[i, :] = P[rows[i], :]  (scalar-prefetch DMA)
 # ---------------------------------------------------------------------------
 

@@ -161,7 +161,13 @@ class SlamSession:
             filt = factor_from_state(filt)
             sr_tick = jnp.zeros((), jnp.int32)
         else:
-            filt = init_state(self.ekf_params)
+            # correction='syrk' needs D % 128 == 0 to engage the Pallas
+            # SYRK kernel (ops/pallas/kernels.syrk_downdate) — pad here
+            # so session users get the kernel, not the fallback warning
+            # (same auto-configuration precedent as ShardedSlamSession's
+            # masked_writes)
+            pad = 128 if self.ekf_params.correction == "syrk" else 1
+            filt = init_state(self.ekf_params, pad_to_multiple_of=pad)
             if self.ekf_params.update_mode == "srekf":
                 # carry the Cholesky factor in the P field (models/srekf.py)
                 from .models.srekf import factor_from_state
