@@ -38,9 +38,9 @@ quantity iterates INSIDE one jitted lax.scan long enough to amortize it,
 with data-dependent loop bodies so XLA cannot fold the work away.
 
 Env overrides (none are set by the driver): BENCH_K=1000|10000 restricts
-to one config; BENCH_BATCH / BENCH_CHUNKS / BENCH_COV_DTYPE=bf16|f32
-tune it (default: the measured schedule, bf16 P at 10k);
-BENCH_FRAMES=0 / BENCH_STREAM=0 / BENCH_SEQ=1 toggle the frames,
+to one config; BENCH_BATCH / BENCH_CHUNKS / BENCH_COV_DTYPE=bf16|f32 /
+BENCH_CORR=gemm|syrk tune it (default: the measured schedule, bf16 P at
+10k); BENCH_FRAMES=0 / BENCH_STREAM=0 / BENCH_SEQ=1 toggle the frames,
 streaming and sequential runs.
 """
 from __future__ import annotations
@@ -69,11 +69,11 @@ ORACLE_10K_ARTIFACT = os.path.join(os.path.dirname(__file__),
 
 
 def _defaults(K: int):
-    """(batch, chunks, n_batches, pht_mode, cov_dtype) per landmark count —
-    the measured-fastest schedule (ekf_slam_tpu/utils/schedule.py,
-    provenance in BASELINE.md).  Long scans at 1k amortize the dispatch
-    floor; short at 10k (each batch is tens of ms and long scans have
-    wedged the remote compiler)."""
+    """(batch, chunks, n_batches, pht_mode, cov_dtype, correction) per
+    landmark count — the measured-fastest schedule
+    (ekf_slam_tpu/utils/schedule.py, provenance in BASELINE.md).  Long
+    scans at 1k amortize the dispatch floor; short at 10k (each batch is
+    tens of ms and long scans have wedged the remote compiler)."""
     from ekf_slam_tpu.utils.schedule import recommended_schedule
     s = recommended_schedule(K)
     n_batches = 256 if K <= 2000 else 8
@@ -86,7 +86,10 @@ def _defaults(K: int):
     cov = (jnp.bfloat16 if env_cd == "bf16"
            else None if env_cd in ("f32", "none")
            else s["cov_dtype"])
-    return batch, chunks, n_batches, pht, cov
+    corr = os.environ.get("BENCH_CORR", s["correction"])
+    if corr not in ("gemm", "syrk"):
+        raise SystemExit(f"BENCH_CORR={corr!r}: use gemm|syrk")
+    return batch, chunks, n_batches, pht, cov, corr
 
 
 def make_full_state(params: EKFParams, K: int, seed=0) -> FilterState:
@@ -168,9 +171,17 @@ def sequential_updates_per_sec(K: int) -> float:
 
 def batched_updates_per_sec(K: int) -> float:
     import dataclasses
-    batch, chunks, n_batches, pht, cov = _defaults(K)
-    params = dataclasses.replace(_params(K, chunks, cov), pht_mode=pht)
+    batch, chunks, n_batches, pht, cov, corr = _defaults(K)
+    params = dataclasses.replace(_params(K, chunks, cov), pht_mode=pht,
+                                 correction=corr)
     state = make_full_state(params, K)
+    if corr == "syrk":
+        # the SYRK kernel needs a tile-divisible state dim — pad like
+        # SlamSession does (512 keeps the largest tile available)
+        D, Dp = state.dim, -(-state.dim // 512) * 512
+        state = state._replace(
+            x=jnp.zeros((Dp,), state.x.dtype).at[:D].set(state.x),
+            P=jnp.zeros((Dp, Dp), state.P.dtype).at[:D, :D].set(state.P))
     zs_all = jnp.asarray(
         make_measurements(state, K, n_batches * batch).reshape(
             n_batches, batch, 3), params.dtype)
@@ -190,8 +201,9 @@ def batched_updates_per_sec(K: int) -> float:
     run = jax.jit(lambda st, zb: jax.lax.scan(one_batch, st, zb)[0])
     ups = (n_batches * batch) / _time(run, state, zs_all)
     cd = "bf16" if cov == jnp.bfloat16 else "f32"
-    print(f"[bench] batched (M={batch}, G={chunks}, pht={pht}, P={cd}): "
-          f"{ups:.1f} updates/s @ {K} landmarks", file=sys.stderr)
+    print(f"[bench] batched (M={batch}, G={chunks}, pht={pht}, P={cd}, "
+          f"corr={corr}): {ups:.1f} updates/s @ {K} landmarks",
+          file=sys.stderr)
     return ups
 
 

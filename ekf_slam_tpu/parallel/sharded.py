@@ -85,6 +85,16 @@ class ShardedSlamSession:
                 "ShardedSlamSession row-shards the dense covariance; "
                 "square-root modes are not supported (their factor is not "
                 "row-shardable by this layout)")
+        # correction='syrk' is a single-chip Pallas kernel: under a
+        # row-sharded P, GSPMD would have to gather the full covariance to
+        # run it.  The corrections are semantically identical (same W·Wᵀ
+        # downdate, different schedule), so revert to the distributed GEMM
+        # form rather than reject — utils/schedule.tuned_params output
+        # (bf16+syrk for large maps) stays directly usable here (same
+        # auto-configuration precedent as masked_writes below).
+        if self.ekf_params.correction == "syrk":
+            self.ekf_params = dataclasses.replace(self.ekf_params,
+                                                  correction="gemm")
         if self.update_path == "shard_map":
             if self.ekf_params.update_mode != "batched":
                 raise ValueError(

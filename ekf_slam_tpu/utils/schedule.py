@@ -42,10 +42,12 @@ def recommended_schedule(capacity: int, batch: Optional[int] = None
     if capacity <= 2000:
         m = batch or 2048
         return {"batch": m, "update_chunks": max(1, m // 256),
-                "pht_mode": "dense", "cov_dtype": None}
+                "pht_mode": "dense", "cov_dtype": None,
+                "correction": "gemm"}
     m = batch or 4096
     return {"batch": m, "update_chunks": max(1, m // 512),
-            "pht_mode": "rows", "cov_dtype": jnp.bfloat16}
+            "pht_mode": "rows", "cov_dtype": jnp.bfloat16,
+            "correction": "syrk"}
 
 
 def tuned_params(params: EKFParams, batch: Optional[int] = None,
@@ -65,5 +67,10 @@ def tuned_params(params: EKFParams, batch: Optional[int] = None,
         return dataclasses.replace(params,
                                    update_chunks=s["update_chunks"])
     cd = s["cov_dtype"] if cov_dtype == "auto" else cov_dtype
+    # the SYRK correction only beats the fused XLA GEMM with bf16 P
+    # (chip: 71.6k vs 68.1k at bf16; 52.5k vs ~57k at f32, BASELINE.md) —
+    # an f32 opt-out therefore also reverts the correction
+    corr = s["correction"] if cd == jnp.bfloat16 else "gemm"
     return dataclasses.replace(params, update_chunks=s["update_chunks"],
-                               pht_mode=s["pht_mode"], cov_dtype=cd)
+                               pht_mode=s["pht_mode"], cov_dtype=cd,
+                               correction=corr)

@@ -89,7 +89,9 @@ def _time_fetch(run, *args, reps=2):
 
 
 def stage_k(D=20480, R=1024):
-    N_IT = 8
+    # 64+ iterations: the ~28 ms dispatch floor is ±3.5 ms/iter at 8
+    # (the first K run's ranking was valid but absolutes were floored)
+    N_IT = 64
     variants = (
         ("xla_gemm", None),
         ("syrk_mxu", dict(tile=512, mirror="mxu")),

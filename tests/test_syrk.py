@@ -187,6 +187,25 @@ def test_update_chunked_syrk_matches_gemm():
                                rtol=1e-9, atol=1e-11)
 
 
+def test_sharded_session_reverts_syrk():
+    """ShardedSlamSession cannot run the single-chip SYRK kernel over a
+    row-sharded P — it reverts to the (semantically identical) GEMM
+    correction so utils/schedule.tuned_params output composes directly."""
+    from ekf_slam_tpu.config import RansacParams
+    from ekf_slam_tpu.parallel.mesh import make_mesh
+    from ekf_slam_tpu.parallel.sharded import ShardedSlamSession
+    from ekf_slam_tpu.utils.schedule import tuned_params
+
+    ep = tuned_params(EKFParams(capacity=2048, max_obs=4, ref_compat=False,
+                                update_mode="batched", dtype=jnp.float32))
+    assert ep.correction == "syrk"
+    sess = ShardedSlamSession(
+        mesh=make_mesh(), ekf_params=ep,
+        ransac_params=RansacParams(table_capacity=16, ref_compat=False,
+                                   dtype=jnp.float32))
+    assert sess.ekf_params.correction == "gemm"
+
+
 def test_correction_validation():
     with pytest.raises(ValueError, match="correction"):
         EKFParams(correction="magic")
