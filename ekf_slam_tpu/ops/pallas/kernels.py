@@ -119,8 +119,8 @@ def syrk_downdate_ref(P: jnp.ndarray, W: jnp.ndarray) -> jnp.ndarray:
 
 
 def _syrk_kernel(wi_idx, wj_idx, ss_ref, pr_idx, pc_idx,
-                 p_ref, wi_ref, wj_ref, o_ref, acc_ref, *,
-                 mirror="mxu"):
+                 p_ref, wi_ref, wj_ref, o_ref, acc_ref, out_scr, *,
+                 mirror="sym"):
     """One grid step per (tile_i, tile_j) write of the output.
 
     The step list visits each lower-triangle pair (i ≥ j) with s=0, which
@@ -144,33 +144,53 @@ def _syrk_kernel(wi_idx, wj_idx, ss_ref, pr_idx, pc_idx,
         acc_ref[:] = jax.lax.dot_general(
             wi_ref[:], wj_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=acc_dt)
-        o_ref[:] = (p_ref[:].astype(acc_dt) - acc_ref[:]
-                    ).astype(o_ref.dtype)
+        out = (p_ref[:].astype(acc_dt) - acc_ref[:]).astype(o_ref.dtype)
+        o_ref[:] = out
+        if mirror == "sym":
+            out_scr[:] = out
 
     @pl.when(s == 1)
     def _():
-        if mirror == "mxu":
-            # accᵀ as an identity contraction on the MXU: the VPU has no
-            # transpose unit, so a lane/sublane-shuffle transpose of a
-            # (512,512) f32 tile costs ~10× the equivalent MXU pass.  The
-            # eye-dot is EXACT (each output sums exactly one product
-            # acc[j,i]·1.0 in the accumulate dtype), preserving the
-            # bit-symmetry guarantee.
-            n = acc_ref.shape[0]
-            eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-                   == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-                   ).astype(acc_dt)
+        n = acc_ref.shape[0]
+
+        def eye_of(dt_):
+            return (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+                    == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+                    ).astype(dt_)
+
+        # A transpose is needed for the mirror block, and the VPU has no
+        # transpose unit — a lane/sublane-shuffle transpose of a (512,512)
+        # f32 tile costs ~10× the equivalent MXU pass.  An identity
+        # contraction on the MXU is EXACT (each output sums exactly one
+        # product x·1.0 in an accumulator wide enough for x).
+        if mirror == "sym":
+            # Transpose the QUANTIZED s=0 output block at storage-dtype
+            # MXU rate and skip the P_ji fetch/subtract entirely: the
+            # mirror block is DEFINED as the lower block's transpose.
+            # For bit-symmetric P this equals P_ji − accᵀ bit-for-bit
+            # ((P_ij − acc)ᵀ elementwise); for asymmetric P it acts as a
+            # free symmetrize (upper := lowerᵀ) — exactly the filter's
+            # semantics, where P is symmetric by construction.
+            acc2 = jnp.float32 if o_ref.dtype == jnp.bfloat16 else acc_dt
+            o_ref[:] = jax.lax.dot_general(
+                out_scr[:], eye_of(out_scr.dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=acc2).astype(o_ref.dtype)
+        elif mirror == "mxu":
             acc_t = jax.lax.dot_general(
-                acc_ref[:], eye, dimension_numbers=(((0,), (0,)), ((), ())),
+                acc_ref[:], eye_of(acc_dt),
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=acc_dt)
+            o_ref[:] = (p_ref[:].astype(acc_dt) - acc_t
+                        ).astype(o_ref.dtype)
         else:
-            acc_t = acc_ref[:].T
-        o_ref[:] = (p_ref[:].astype(acc_dt) - acc_t).astype(o_ref.dtype)
+            o_ref[:] = (p_ref[:].astype(acc_dt) - acc_ref[:].T
+                        ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret", "mirror"))
 def syrk_downdate_pallas(P: jnp.ndarray, W: jnp.ndarray, tile: int = 512,
-                         interpret: bool = False, mirror: str = "mxu"
+                         interpret: bool = False, mirror: str = "sym"
                          ) -> jnp.ndarray:
     """P − W·Wᵀ exploiting symmetry: the correction is computed only for
     lower-triangle tiles and mirrored, halving the dominant GEMM's flops.
@@ -184,7 +204,21 @@ def syrk_downdate_pallas(P: jnp.ndarray, W: jnp.ndarray, tile: int = 512,
 
     The P buffer is aliased in-place: one read + one write of P total.
     Requires D % tile == 0 (init_state(pad_to_multiple_of=...)); the
-    rank R is zero-padded to the 128-lane tile internally."""
+    rank R is zero-padded to the 128-lane tile internally.
+
+    ``mirror`` (how the (j,i) block is produced from the (i,j) work):
+      'sym' (default) — the mirror block is DEFINED as the transpose of
+            the quantized lower block, computed as an exact identity
+            contraction at storage-dtype MXU rate; the P_ji fetch and
+            subtract are skipped entirely.  For bit-symmetric P this is
+            bit-identical to 'mxu'; for asymmetric P the off-diagonal
+            blocks are symmetrized (upper := lowerᵀ) while each diagonal
+            TILE keeps its own asymmetry — the filter's semantics either
+            way, since the Kalman P is symmetric by construction.
+      'mxu' — P_ji − accᵀ with the transpose as an f32/f64 identity
+            contraction (general-P semantics).
+      'vpu' — same via a lane/sublane shuffle transpose (slow; kept as
+            the measured experiment)."""
     D = P.shape[0]
     R = W.shape[1]
     assert D % tile == 0, "caller guards (syrk_downdate dispatch)"
@@ -213,19 +247,30 @@ def syrk_downdate_pallas(P: jnp.ndarray, W: jnp.ndarray, tile: int = 512,
     def pmap_(k, wi_r, wj_r, ss_r, pr_r, pc_r):
         return (pr_r[k], pc_r[k])
 
+    if mirror == "sym":
+        # the sym mirror never reads P_ji — keep the P input block pinned
+        # at (i,j) on both steps of a pair so the s=1 step fetches nothing
+        def pin_(k, wi_r, wj_r, *_):
+            return (wi_r[k], wj_r[k])
+    else:
+        pin_ = pmap_
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(T * T,),
         in_specs=[
-            pl.BlockSpec((tile, tile), pmap_),
+            pl.BlockSpec((tile, tile), pin_),
             pl.BlockSpec((tile, Rp), lambda k, wi_r, *_: (wi_r[k], 0)),
             pl.BlockSpec((tile, Rp), lambda k, wi_r, wj_r, *_:
                          (wj_r[k], 0)),
         ],
         out_specs=pl.BlockSpec((tile, tile), pmap_),
-        scratch_shapes=[pltpu.VMEM(
-            (tile, tile),
-            jnp.float64 if P.dtype == jnp.float64 else jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((tile, tile),
+                       jnp.float64 if P.dtype == jnp.float64
+                       else jnp.float32),
+            pltpu.VMEM((tile, tile), P.dtype),   # quantized s=0 block
+        ],
     )
     return pl.pallas_call(
         functools.partial(_syrk_kernel, mirror=mirror),

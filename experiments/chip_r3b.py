@@ -94,9 +94,9 @@ def stage_k(D=20480, R=1024):
     N_IT = 64
     variants = (
         ("xla_gemm", None),
+        ("syrk_sym", dict(tile=512, mirror="sym")),
         ("syrk_mxu", dict(tile=512, mirror="mxu")),
-        ("syrk_vpu", dict(tile=512, mirror="vpu")),
-        ("syrk_mxu_t1024", dict(tile=1024, mirror="mxu")),
+        # tile=1024 failed remote compile (Mosaic); vpu measured ≈ mxu
     )
     for cov in ("bf16", "f32"):
         dt_ = jnp.bfloat16 if cov == "bf16" else jnp.float32
@@ -187,6 +187,113 @@ def stage_s(K=10000, schedules=SCHEDULES_FULL):
                  "correction": corr, "error": repr(e)[:300]})
 
 
+# ---------------------------------------------------------------------------
+# Stage T: single-chip capacity ceiling beyond the 10k north star —
+# 20k / 32k landmarks with the promoted schedule (rows + bf16 + syrk).
+# The reference's rank-growing dense filter cannot reach these at ANY
+# speed; one v5e chip holds P up to ~32k landmarks in bf16 (8.3 GB).
+# ---------------------------------------------------------------------------
+
+def stage_t(rows=((20000, 4096, 8, "syrk"), (32000, 4096, 8, "syrk"))):
+    for K, M, G, corr in rows:
+        try:
+            params = EKFParams(
+                capacity=K, association="ml", s_cost=1e6, s_thresh=1e12,
+                ref_compat=False, dtype=jnp.float32, pht_mode="rows",
+                update_chunks=G, correction=corr,
+                cov_dtype=jnp.bfloat16)
+            state = _pad(bench.make_full_state(params, K))
+            jax.block_until_ready(state.P)
+            rc0, rc1 = params.rc
+            n_batches = 4
+            zs_all = jnp.asarray(bench.make_measurements(
+                state, K, n_batches * M).reshape(n_batches, M, 3),
+                params.dtype)
+
+            def one_batch(st, zsb):
+                Rs = jax.vmap(lambda z: jnp.diag(
+                    jnp.stack([z[0] * rc0, z[1] * rc1])))(zsb).astype(
+                        params.dtype)
+                is_new, sl = gate_batch(st, zsb, Rs, params)
+                return update_chunked(st, zsb, sl, Rs, ~is_new,
+                                      params), None
+
+            run = jax.jit(lambda st, zb: jax.lax.scan(one_batch,
+                                                      st, zb)[0])
+            dt = _time(run, state, zs_all)
+            log({"stage": "T", "K": K, "M": M, "G": G, "cov": "bf16",
+                 "correction": corr, "D_padded": state.dim,
+                 "P_gb": round(state.dim ** 2 * 2 / 1e9, 1),
+                 "updates_per_sec": round(n_batches * M / dt, 1)})
+            del state, zs_all
+        except Exception as e:
+            log({"stage": "T", "K": K, "error": repr(e)[:300]})
+
+
+def stage_u(K=32000, M=4096, G=8):
+    """32k landmarks: the single-chip ceiling.  P bf16 is 8.3 GB at
+    D=64512 — bench.make_full_state's f32 eye (16.6 GB) and the GEMM
+    correction's second D² buffer both blow the 16 GB HBM, so the state
+    builds diagonally straight into bf16 (fused iota-select, ONE D²
+    buffer) and the update must be the in-place SYRK (aliased P: no
+    second D² temporary exists anywhere in the chain)."""
+    import numpy as np
+    try:
+        params = EKFParams(
+            capacity=K, association="ml", s_cost=1e6, s_thresh=1e12,
+            ref_compat=False, dtype=jnp.float32, pht_mode="rows",
+            update_chunks=G, correction="syrk", cov_dtype=jnp.bfloat16)
+        D0 = params.dim
+        Dp = -(-D0 // 512) * 512
+        rng = np.random.default_rng(0)
+        lm = rng.uniform(-40, 40, (K, 2))
+        x = np.zeros(Dp, np.float64)
+        x[3:3 + 2 * K] = lm.reshape(-1)
+
+        from ekf_slam_tpu.state import FilterState
+        x_j = jnp.asarray(x, params.dtype)
+        sig = jnp.arange(1, K + 1, dtype=params.dtype)
+        active = jnp.ones((K,), bool)
+
+        # host-side copy of the state (tiny P) only to synthesize
+        # gate-consistent measurements
+        host_state = FilterState(x=x_j, P=jnp.zeros((2, 2)), sig=sig,
+                                 active=active,
+                                 n_active=jnp.asarray(K, jnp.int32))
+        rc0, rc1 = params.rc
+        n_batches = 4
+        zs_all = jnp.asarray(bench.make_measurements(
+            host_state, K, n_batches * M).reshape(n_batches, M, 3),
+            params.dtype)
+
+        def one_batch(st, zsb):
+            Rs = jax.vmap(lambda z: jnp.diag(
+                jnp.stack([z[0] * rc0, z[1] * rc1])))(zsb).astype(
+                    params.dtype)
+            is_new, sl = gate_batch(st, zsb, Rs, params)
+            return update_chunked(st, zsb, sl, Rs, ~is_new, params), None
+
+        @jax.jit
+        def run(zb):
+            # the 8.3 GB P is created INSIDE the program (fused
+            # iota-select straight into bf16) and updated in place by the
+            # aliased SYRK — at no point do two D² buffers coexist
+            ii = jax.lax.broadcasted_iota(jnp.int32, (Dp, Dp), 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (Dp, Dp), 1)
+            P = jnp.where(ii == jj, jnp.bfloat16(0.05), jnp.bfloat16(0.0))
+            st = FilterState(x=x_j, P=P, sig=sig, active=active,
+                             n_active=jnp.asarray(K, jnp.int32))
+            return jax.lax.scan(one_batch, st, zb)[0]
+
+        dt = _time(run, zs_all)
+        log({"stage": "U", "K": K, "M": M, "G": G, "cov": "bf16",
+             "correction": "syrk", "D_padded": Dp,
+             "P_gb": round(Dp * Dp * 2 / 1e9, 1),
+             "updates_per_sec": round(n_batches * M / dt, 1)})
+    except Exception as e:
+        log({"stage": "U", "K": K, "error": repr(e)[:300]})
+
+
 def main():
     import sys
     plat = jax.devices()[0].platform
@@ -200,6 +307,10 @@ def main():
                 stage_s()
             elif s == "Z":
                 stage_s(schedules=SCHEDULES_SYRK)
+            elif s == "T":
+                stage_t()
+            elif s == "U":          # 32k retry with the XLA correction
+                stage_t(rows=((32000, 4096, 8, "gemm"),))
         except Exception as e:
             log({"stage": s, "error": repr(e)[:300]})
 

@@ -61,7 +61,7 @@ def test_syrk_kernel_bf16_storage(rng):
         np.asarray(out, np.float32), np.asarray(ref, np.float32))
 
 
-@pytest.mark.parametrize("mirror", ["mxu", "vpu"])
+@pytest.mark.parametrize("mirror", ["sym", "mxu", "vpu"])
 def test_syrk_output_bit_symmetric(rng, mirror):
     """The mirror block is written from the SAME accumulator — via an
     exact identity contraction on the MXU ('mxu', the chip default) or a
@@ -79,8 +79,8 @@ def test_syrk_output_bit_symmetric(rng, mirror):
 
 
 def test_syrk_mirror_modes_bit_identical(rng):
-    """The eye-dot transpose is EXACT: both mirror modes produce the
-    same bits (f32 and bf16 storage)."""
+    """The eye-dot transposes are EXACT: on a bit-symmetric P all three
+    mirror modes produce the same bits (f32 and bf16 storage)."""
     D = 256
     for dt_ in (jnp.float32, jnp.bfloat16):
         P = _sym(rng, D, jnp.float32).astype(dt_)
@@ -90,8 +90,31 @@ def test_syrk_mirror_modes_bit_identical(rng):
                                          mirror="mxu")
         b = kernels.syrk_downdate_pallas(P, W, tile=128, interpret=True,
                                          mirror="vpu")
+        c = kernels.syrk_downdate_pallas(P, W, tile=128, interpret=True,
+                                         mirror="sym")
         np.testing.assert_array_equal(np.asarray(a, np.float32),
                                       np.asarray(b, np.float32))
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(c, np.float32))
+
+
+def test_syrk_sym_mirror_symmetrizes_asymmetric_p(rng):
+    """mirror='sym' on an ASYMMETRIC P: the lower triangle matches the
+    reference and every OFF-DIAGONAL upper block is the lower's
+    transpose (diagonal tiles keep their own asymmetry — irrelevant for
+    the filter, whose P is symmetric by construction)."""
+    D, tile = 256, 128
+    A = jnp.asarray(rng.normal(0, 1, (D, D)), jnp.float64)  # asymmetric
+    W = jnp.asarray(rng.normal(0, 1, (D, 64)), jnp.float64)
+    out = np.asarray(kernels.syrk_downdate_pallas(A, W, tile=tile,
+                                                  interpret=True,
+                                                  mirror="sym"))
+    ref = np.asarray(kernels.syrk_downdate_ref(A, W))
+    lo = np.tril_indices(D)
+    np.testing.assert_allclose(out[lo], ref[lo], rtol=1e-12, atol=1e-12)
+    # off-diagonal block mirror: upper tile (j,i) == lower tile (i,j)ᵀ
+    np.testing.assert_array_equal(out[:tile, tile:],
+                                  out[tile:, :tile].T)
 
 
 def test_syrk_dispatch_fallback_warns(rng):
