@@ -188,10 +188,44 @@ def _syrk_kernel(wi_idx, wj_idx, ss_ref, pr_idx, pc_idx,
                         ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret", "mirror"))
+def _syrk_kernel_wres(wi_idx, wj_idx, ss_ref, pr_idx, pc_idx,
+                      p_ref, w_ref, o_ref, acc_ref, *, tile,
+                      mirror="mxu"):
+    """W-resident variant: the whole W stays pinned in VMEM (fetched
+    once) and each step slices its two tiles from it — no per-step W
+    DMA.  Only worthwhile when W fits comfortably (bf16 at 10k: 40 MB
+    vs the 128 MB VMEM)."""
+    k = pl.program_id(0)
+    s = ss_ref[k]
+    acc_dt = acc_ref.dtype
+
+    @pl.when(s == 0)
+    def _():
+        wi = w_ref[pl.ds(wi_idx[k] * tile, tile), :]
+        wj = w_ref[pl.ds(wj_idx[k] * tile, tile), :]
+        acc_ref[:] = jax.lax.dot_general(
+            wi, wj, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=acc_dt)
+        o_ref[:] = (p_ref[:].astype(acc_dt) - acc_ref[:]
+                    ).astype(o_ref.dtype)
+
+    @pl.when(s == 1)
+    def _():
+        n = acc_ref.shape[0]
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+               ).astype(acc_dt)
+        acc_t = jax.lax.dot_general(
+            acc_ref[:], eye, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=acc_dt)
+        o_ref[:] = (p_ref[:].astype(acc_dt) - acc_t).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret", "mirror",
+                                             "w_resident"))
 def syrk_downdate_pallas(P: jnp.ndarray, W: jnp.ndarray, tile: int = 512,
-                         interpret: bool = False, mirror: str = "mxu"
-                         ) -> jnp.ndarray:
+                         interpret: bool = False, mirror: str = "mxu",
+                         w_resident: bool = False) -> jnp.ndarray:
     """P − W·Wᵀ exploiting symmetry: the correction is computed only for
     lower-triangle tiles and mirrored, halving the dominant GEMM's flops.
 
@@ -256,6 +290,33 @@ def syrk_downdate_pallas(P: jnp.ndarray, W: jnp.ndarray, tile: int = 512,
     else:
         pin_ = pmap_
 
+    acc_shape = pltpu.VMEM((tile, tile),
+                           jnp.float64 if P.dtype == jnp.float64
+                           else jnp.float32)
+    if w_resident:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(T * T,),
+            in_specs=[
+                pl.BlockSpec((tile, tile), pin_),
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # whole W, once
+            ],
+            out_specs=pl.BlockSpec((tile, tile), pmap_),
+            scratch_shapes=[acc_shape],
+        )
+        return pl.pallas_call(
+            functools.partial(_syrk_kernel_wres, tile=tile, mirror=mirror),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(P.shape, P.dtype),
+            input_output_aliases={5: 0},
+            cost_estimate=pl.CostEstimate(
+                flops=D * (D + tile) * Rp,
+                bytes_accessed=2 * D * D * P.dtype.itemsize
+                + D * Rp * W.dtype.itemsize,
+                transcendentals=0),
+            interpret=interpret,
+        )(wi, wj, ss, pr, pc, P, W)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(T * T,),
@@ -267,9 +328,7 @@ def syrk_downdate_pallas(P: jnp.ndarray, W: jnp.ndarray, tile: int = 512,
         ],
         out_specs=pl.BlockSpec((tile, tile), pmap_),
         scratch_shapes=[
-            pltpu.VMEM((tile, tile),
-                       jnp.float64 if P.dtype == jnp.float64
-                       else jnp.float32),
+            acc_shape,
             pltpu.VMEM((tile, tile), P.dtype),   # quantized s=0 block
         ],
     )

@@ -96,6 +96,7 @@ def stage_k(D=20480, R=1024):
         ("xla_gemm", None),
         ("syrk_sym", dict(tile=512, mirror="sym")),
         ("syrk_mxu", dict(tile=512, mirror="mxu")),
+        ("syrk_wres", dict(tile=512, mirror="mxu", w_resident=True)),
         # tile=1024 failed remote compile (Mosaic); vpu measured ≈ mxu
     )
     for cov in ("bf16", "f32"):
@@ -277,13 +278,18 @@ def stage_u(K=32000, M=4096, G=8):
         def run(zb):
             # the 8.3 GB P is created INSIDE the program (fused
             # iota-select straight into bf16) and updated in place by the
-            # aliased SYRK — at no point do two D² buffers coexist
+            # aliased SYRK.  The batches are UNROLLED straight-line, not
+            # lax.scan: a scan carry double-buffers P (two 8.3 GB
+            # buffers = OOM), while SSA lets XLA chain the in-place
+            # aliasing through consecutive pallas calls.
             ii = jax.lax.broadcasted_iota(jnp.int32, (Dp, Dp), 0)
             jj = jax.lax.broadcasted_iota(jnp.int32, (Dp, Dp), 1)
             P = jnp.where(ii == jj, jnp.bfloat16(0.05), jnp.bfloat16(0.0))
             st = FilterState(x=x_j, P=P, sig=sig, active=active,
                              n_active=jnp.asarray(K, jnp.int32))
-            return jax.lax.scan(one_batch, st, zb)[0]
+            for b in range(n_batches):
+                st, _ = one_batch(st, zb[b])
+            return st.x                   # tiny output; P dies in-program
 
         dt = _time(run, zs_all)
         log({"stage": "U", "K": K, "M": M, "G": G, "cov": "bf16",
@@ -309,8 +315,8 @@ def main():
                 stage_s(schedules=SCHEDULES_SYRK)
             elif s == "T":
                 stage_t()
-            elif s == "U":          # 32k retry with the XLA correction
-                stage_t(rows=((32000, 4096, 8, "gemm"),))
+            elif s == "U":          # 32k single-chip ceiling (in-program
+                stage_u()           # diag-bf16 build + in-place SYRK)
         except Exception as e:
             log({"stage": s, "error": repr(e)[:300]})
 

@@ -98,6 +98,26 @@ def test_syrk_mirror_modes_bit_identical(rng):
                                       np.asarray(c, np.float32))
 
 
+def test_syrk_w_resident_matches_blocked(rng):
+    """The W-resident variant (whole W pinned in VMEM, tiles sliced in
+    the kernel) is bit-identical to the blocked-W default."""
+    D, R = 384, 96
+    P = _sym(rng, D)
+    W = jnp.asarray(rng.normal(0, 1, (D, R)), jnp.float64)
+    a = kernels.syrk_downdate_pallas(P, W, tile=128, interpret=True)
+    b = kernels.syrk_downdate_pallas(P, W, tile=128, interpret=True,
+                                     w_resident=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for dt_ in (jnp.float32, jnp.bfloat16):
+        Pq = P.astype(dt_)
+        Wq = W.astype(dt_)
+        a = kernels.syrk_downdate_pallas(Pq, Wq, tile=128, interpret=True)
+        b = kernels.syrk_downdate_pallas(Pq, Wq, tile=128, interpret=True,
+                                         w_resident=True)
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+
+
 def test_syrk_sym_mirror_symmetrizes_asymmetric_p(rng):
     """mirror='sym' on an ASYMMETRIC P: the lower triangle matches the
     reference and every OFF-DIAGONAL upper block is the lower's
