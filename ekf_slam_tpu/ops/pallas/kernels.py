@@ -119,7 +119,7 @@ def syrk_downdate_ref(P: jnp.ndarray, W: jnp.ndarray) -> jnp.ndarray:
 
 
 def _syrk_kernel(wi_idx, wj_idx, ss_ref, pr_idx, pc_idx,
-                 p_ref, wi_ref, wj_ref, o_ref, acc_ref, out_scr, *,
+                 p_ref, wi_ref, wj_ref, o_ref, acc_ref, *scr,
                  mirror="mxu"):
     """One grid step per (tile_i, tile_j) write of the output.
 
@@ -136,6 +136,9 @@ def _syrk_kernel(wi_idx, wj_idx, ss_ref, pr_idx, pc_idx,
     k = pl.program_id(0)
     s = ss_ref[k]
     acc_dt = acc_ref.dtype          # f32 on chip; f64 under x64 tests
+    # the quantized-block scratch exists only under mirror='sym' (the
+    # dispatcher allocates it conditionally)
+    out_scr = scr[0] if scr else None
 
     @pl.when(s == 0)
     def _():
@@ -189,12 +192,12 @@ def _syrk_kernel(wi_idx, wj_idx, ss_ref, pr_idx, pc_idx,
 
 
 def _syrk_kernel_wres(wi_idx, wj_idx, ss_ref, pr_idx, pc_idx,
-                      p_ref, w_ref, o_ref, acc_ref, *, tile,
-                      mirror="mxu"):
+                      p_ref, w_ref, o_ref, acc_ref, *, tile):
     """W-resident variant: the whole W stays pinned in VMEM (fetched
     once) and each step slices its two tiles from it — no per-step W
     DMA.  Only worthwhile when W fits comfortably (bf16 at 10k: 40 MB
-    vs the 128 MB VMEM)."""
+    vs the 128 MB VMEM).  Implements the 'mxu' mirror only (the
+    dispatcher asserts)."""
     k = pl.program_id(0)
     s = ss_ref[k]
     acc_dt = acc_ref.dtype
@@ -294,6 +297,11 @@ def syrk_downdate_pallas(P: jnp.ndarray, W: jnp.ndarray, tile: int = 512,
                            jnp.float64 if P.dtype == jnp.float64
                            else jnp.float32)
     if w_resident:
+        # _syrk_kernel_wres only implements the mxu identity-contraction
+        # mirror — reject the other modes instead of silently running mxu
+        assert mirror == "mxu", (
+            f"w_resident SYRK implements mirror='mxu' only (got "
+            f"{mirror!r}); use the blocked variant for 'sym'/'vpu'")
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=(T * T,),
@@ -305,7 +313,7 @@ def syrk_downdate_pallas(P: jnp.ndarray, W: jnp.ndarray, tile: int = 512,
             scratch_shapes=[acc_shape],
         )
         return pl.pallas_call(
-            functools.partial(_syrk_kernel_wres, tile=tile, mirror=mirror),
+            functools.partial(_syrk_kernel_wres, tile=tile),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(P.shape, P.dtype),
             input_output_aliases={5: 0},
@@ -317,6 +325,12 @@ def syrk_downdate_pallas(P: jnp.ndarray, W: jnp.ndarray, tile: int = 512,
             interpret=interpret,
         )(wi, wj, ss, pr, pc, P, W)
 
+    # the quantized-block scratch is only read by the 'sym' mirror — the
+    # default 'mxu'/'vpu' paths would otherwise pin up to 1 MB of VMEM
+    # they never touch
+    scratch = [acc_shape]
+    if mirror == "sym":
+        scratch.append(pltpu.VMEM((tile, tile), P.dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(T * T,),
@@ -327,10 +341,7 @@ def syrk_downdate_pallas(P: jnp.ndarray, W: jnp.ndarray, tile: int = 512,
                          (wj_r[k], 0)),
         ],
         out_specs=pl.BlockSpec((tile, tile), pmap_),
-        scratch_shapes=[
-            acc_shape,
-            pltpu.VMEM((tile, tile), P.dtype),   # quantized s=0 block
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         functools.partial(_syrk_kernel, mirror=mirror),

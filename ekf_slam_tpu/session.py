@@ -161,12 +161,16 @@ class SlamSession:
             filt = factor_from_state(filt)
             sr_tick = jnp.zeros((), jnp.int32)
         else:
-            # correction='syrk' needs D % 128 == 0 to engage the Pallas
+            # correction='syrk' needs D % tile == 0 to engage the Pallas
             # SYRK kernel (ops/pallas/kernels.syrk_downdate) — pad here
             # so session users get the kernel, not the fallback warning
             # (same auto-configuration precedent as ShardedSlamSession's
-            # masked_writes)
-            pad = 128 if self.ekf_params.correction == "syrk" else 1
+            # masked_writes).  Pad to 512, not 128: every chip measurement
+            # behind promoting syrk used tile=512 (BASELINE.md round-3
+            # table, D=20480), and syrk_tile() picks the largest tile that
+            # divides D — a 128-padded D would silently run the unmeasured
+            # tile-128 grid.
+            pad = 512 if self.ekf_params.correction == "syrk" else 1
             filt = init_state(self.ekf_params, pad_to_multiple_of=pad)
             if self.ekf_params.update_mode == "srekf":
                 # carry the Cholesky factor in the P field (models/srekf.py)
