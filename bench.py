@@ -37,11 +37,21 @@ dispatch floor (measured, experiments/prof_floor4.py), so every timed
 quantity iterates INSIDE one jitted lax.scan long enough to amortize it,
 with data-dependent loop bodies so XLA cannot fold the work away.
 
+Statistical discipline (round 4): every timed quantity is the MEDIAN of
+``BENCH_REPS`` (default 5) in-invocation repetitions with the spread
+(max−min)/median reported alongside in ``extra`` — headline claims must
+exceed their own error bars; completion is forced by FETCHING a result
+value, not ``block_until_ready`` (which has returned early for scan
+programs on the tunnel and produced the round-3 157k↔407k frames/s
+swing); and at 10k a same-invocation gemm-vs-syrk A/B on the same state
+pins the promoted correction's margin against measured variance.
+
 Env overrides (none are set by the driver): BENCH_K=1000|10000 restricts
 to one config; BENCH_BATCH / BENCH_CHUNKS / BENCH_COV_DTYPE=bf16|f32 /
 BENCH_CORR=gemm|syrk tune it (default: the measured schedule, bf16 P at
 10k); BENCH_FRAMES=0 / BENCH_STREAM=0 / BENCH_SEQ=1 toggle the frames,
-streaming and sequential runs.
+streaming and sequential runs; BENCH_REPS=N sets the rep count;
+BENCH_AB=0 skips the 10k correction A/B.
 """
 from __future__ import annotations
 
@@ -63,6 +73,7 @@ from ekf_slam_tpu.state import FilterState, init_state
 ONLY_K = int(os.environ["BENCH_K"]) if "BENCH_K" in os.environ else None
 N_SEQ = 256       # sequential updates per timed run (amortizes the floor)
 N_ORACLE = 5      # oracle updates to time (median taken; seconds each)
+N_REPS = int(os.environ.get("BENCH_REPS", "5"))  # timed reps per metric
 ORACLE_10K_ARTIFACT = os.path.join(os.path.dirname(__file__),
                                    "experiments", "results",
                                    "oracle_10k.json")
@@ -86,7 +97,11 @@ def _defaults(K: int):
     cov = (jnp.bfloat16 if env_cd == "bf16"
            else None if env_cd in ("f32", "none")
            else s["cov_dtype"])
-    corr = os.environ.get("BENCH_CORR", s["correction"])
+    # mirror utils/schedule.tuned_params: the SYRK correction only beats
+    # the fused GEMM with bf16 P (BASELINE.md), so an f32 cov override
+    # also reverts the correction unless BENCH_CORR pins it explicitly
+    default_corr = (s["correction"] if cov == jnp.bfloat16 else "gemm")
+    corr = os.environ.get("BENCH_CORR", default_corr)
     if corr not in ("gemm", "syrk"):
         raise SystemExit(f"BENCH_CORR={corr!r}: use gemm|syrk")
     return batch, chunks, n_batches, pht, cov, corr
@@ -133,18 +148,41 @@ def make_measurements(state: FilterState, K: int, n: int, seed=1):
     return np.stack([r, b, (idx + 1).astype(np.float64)], axis=-1)
 
 
-def _time(run, *args):
-    """Best of two timed repetitions after a compile/warm pass — the
-    tunnel adds run-to-run noise that a single rep inherits."""
-    out = run(*args)                      # compile + warm
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(2):
+def _fetch(out) -> float:
+    """Force completion by FETCHING a value, not block_until_ready:
+    on the axon tunnel block_until_ready has been observed returning
+    early for lax.scan programs (0.01 ms for a 1.7-TFLOP loop,
+    experiments/chip_r3b.py) — the round-3 frames/s artifact swung
+    157k↔407k on identical code because of it.  Pulling one scalar of
+    the result to the host cannot complete before the program does."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(np.asarray(leaf).reshape(-1)[0])
+
+
+def _time_reps(run, *args, n=None):
+    """Timed repetitions after a compile/warm pass: returns the per-rep
+    seconds as an array.  Medians + spreads beat best-of-N on the
+    tunnel, whose run-to-run noise (~±5-6%, BASELINE.md round-3
+    consolidation table) previously swallowed whole A/B margins."""
+    n = N_REPS if n is None else n
+    _fetch(run(*args))                    # compile + warm
+    ts = []
+    for _ in range(n):
         t0 = time.perf_counter()
-        out = run(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best
+        _fetch(run(*args))
+        ts.append(time.perf_counter() - t0)
+    return np.asarray(ts)
+
+
+def _time(run, *args):
+    """Median of N_REPS timed repetitions (see _time_reps)."""
+    return float(np.median(_time_reps(run, *args)))
+
+
+def _spread_pct(ts) -> float:
+    """(max−min)/median of per-rep times, in percent — the error bar
+    every headline claim must exceed (VERDICT r3 weak item 1)."""
+    return float(100.0 * (ts.max() - ts.min()) / np.median(ts))
 
 
 def _params(K: int, chunks: int, cov_dtype=None) -> EKFParams:
@@ -169,7 +207,32 @@ def sequential_updates_per_sec(K: int) -> float:
     return N_SEQ / _time(run, state, zs)
 
 
-def batched_updates_per_sec(K: int) -> float:
+def _batched_chain(params, state, zs_all):
+    """The jitted gate→update chain over all batches (one scan program)."""
+    rc0, rc1 = params.rc
+    from ekf_slam_tpu.ops.association import gate_batch
+
+    def one_batch(st, zs):
+        Rs = jax.vmap(lambda z: jnp.diag(
+            jnp.stack([z[0] * rc0, z[1] * rc1])))(zs).astype(params.dtype)
+        is_new, slots = gate_batch(st, zs, Rs, params,
+                                   use_pallas=params.use_pallas)
+        valid = ~is_new
+        return batched.update_chunked(st, zs, slots, Rs, valid,
+                                      params), None
+
+    return jax.jit(lambda st, zb: jax.lax.scan(one_batch, st, zb)[0])
+
+
+def batched_updates_per_sec(K: int):
+    """Measured-schedule throughput at K landmarks: (updates/s median,
+    spread%, A/B dict or None).
+
+    At 10k with the promoted correction='syrk', a same-invocation
+    gemm-vs-syrk A/B runs on the SAME padded state and measurements (the
+    r3 artifact could not tell the +5.1% promotion margin from the
+    tunnel's ±5-6% run-to-run spread; per-rep medians inside one
+    invocation can — BENCH_AB=0 skips)."""
     import dataclasses
     batch, chunks, n_batches, pht, cov, corr = _defaults(K)
     params = dataclasses.replace(_params(K, chunks, cov), pht_mode=pht,
@@ -185,26 +248,31 @@ def batched_updates_per_sec(K: int) -> float:
     zs_all = jnp.asarray(
         make_measurements(state, K, n_batches * batch).reshape(
             n_batches, batch, 3), params.dtype)
-    rc0, rc1 = params.rc
 
-    from ekf_slam_tpu.ops.association import gate_batch
-
-    def one_batch(st, zs):
-        Rs = jax.vmap(lambda z: jnp.diag(
-            jnp.stack([z[0] * rc0, z[1] * rc1])))(zs).astype(params.dtype)
-        is_new, slots = gate_batch(st, zs, Rs, params,
-                                   use_pallas=params.use_pallas)
-        valid = ~is_new
-        return batched.update_chunked(st, zs, slots, Rs, valid,
-                                      params), None
-
-    run = jax.jit(lambda st, zb: jax.lax.scan(one_batch, st, zb)[0])
-    ups = (n_batches * batch) / _time(run, state, zs_all)
+    n_upd = n_batches * batch
     cd = "bf16" if cov == jnp.bfloat16 else "f32"
+
+    ts = _time_reps(_batched_chain(params, state, zs_all), state, zs_all)
+    ups = n_upd / float(np.median(ts))
+    spread = _spread_pct(ts)
     print(f"[bench] batched (M={batch}, G={chunks}, pht={pht}, P={cd}, "
-          f"corr={corr}): {ups:.1f} updates/s @ {K} landmarks",
-          file=sys.stderr)
-    return ups
+          f"corr={corr}): {ups:.1f} updates/s @ {K} landmarks "
+          f"(median of {len(ts)}, spread {spread:.1f}%)", file=sys.stderr)
+
+    ab = None
+    if corr == "syrk" and os.environ.get("BENCH_AB", "1") == "1":
+        alt = dataclasses.replace(params, correction="gemm")
+        ts_g = _time_reps(_batched_chain(alt, state, zs_all),
+                          state, zs_all)
+        ups_g = n_upd / float(np.median(ts_g))
+        margin = 100.0 * (ups / ups_g - 1.0)
+        ab = {"gemm_updates_per_sec": round(ups_g, 1),
+              "gemm_spread_pct": round(_spread_pct(ts_g), 1),
+              "syrk_margin_pct": round(margin, 1)}
+        print(f"[bench] A/B same-state gemm: {ups_g:.1f} updates/s "
+              f"(spread {ab['gemm_spread_pct']}%) -> syrk margin "
+              f"{margin:+.1f}%", file=sys.stderr)
+    return ups, spread, ab
 
 
 def oracle_10k_measured() -> float:
@@ -288,11 +356,12 @@ def frames_per_sec(sess, traj, T) -> float:
     rng = jnp.asarray(traj.ranges, jnp.float32)
     beams = jnp.asarray(traj.beam_angles, jnp.float32)
     carry = sess.init_carry(first_odom=odom[0])
-    dt = _time(lambda: sess._run(carry, odom, rng, beams))
-    fps = T / dt
+    ts = _time_reps(lambda: sess._run(carry, odom, rng, beams))
+    fps = T / float(np.median(ts))
     print(f"[bench] session frames/s (full pipeline, 1024 beams, cap 128): "
-          f"{fps:.1f}", file=sys.stderr)
-    return fps
+          f"{fps:.1f} (median of {len(ts)}, spread {_spread_pct(ts):.1f}%)",
+          file=sys.stderr)
+    return fps, _spread_pct(ts)
 
 
 def stream_ticks_per_sec(sess, traj, T) -> float:
@@ -316,10 +385,15 @@ def stream_ticks_per_sec(sess, traj, T) -> float:
         return stream.stats.summary()
 
     run_once()                     # compile off the clock
-    s = run_once()
-    print(f"[bench] streaming (window {WIN}): {s['ticks_per_sec']:.1f} "
-          f"ticks/s, p99 {s['latency_p99_ms']:.0f} ms", file=sys.stderr)
-    return s["ticks_per_sec"]
+    reps = [run_once() for _ in range(max(3, N_REPS))]
+    tps = np.asarray([s["ticks_per_sec"] for s in reps])
+    p99 = float(np.median([s["latency_p99_ms"] for s in reps]))
+    spread = float(100.0 * (tps.max() - tps.min()) / np.median(tps))
+    print(f"[bench] streaming (window {WIN}): "
+          f"{float(np.median(tps)):.1f} ticks/s (median of {len(reps)}, "
+          f"spread {spread:.1f}%, reps {np.round(tps, 1).tolist()}), "
+          f"p99 {p99:.0f} ms", file=sys.stderr)
+    return float(np.median(tps)), spread
 
 
 def main():
@@ -333,28 +407,35 @@ def main():
 
     if run_frames:
         sess, traj, T = _session_and_traj()
-        extra["frames_per_sec"] = round(frames_per_sec(sess, traj, T), 1)
+        fps, fps_spread = frames_per_sec(sess, traj, T)
+        extra["frames_per_sec"] = round(fps, 1)
+        extra["frames_spread_pct"] = round(fps_spread, 1)
         # streaming is the reference's actual operating mode
         # (test_SLAM.m:16-18): on by default, riding the frames run's
         # compiled pipeline (BENCH_STREAM=0 to skip)
         if os.environ.get("BENCH_STREAM", "1") == "1":
-            extra["stream_ticks_per_sec"] = round(
-                stream_ticks_per_sec(sess, traj, T), 1)
+            tps, tps_spread = stream_ticks_per_sec(sess, traj, T)
+            extra["stream_ticks_per_sec"] = round(tps, 1)
+            extra["stream_spread_pct"] = round(tps_spread, 1)
 
     orc_1k = _oracle_at(1000)
     print(f"[bench] numpy oracle @1k: {orc_1k:.3f} updates/s",
           file=sys.stderr)
 
     if run_1k:
-        ups_1k = batched_updates_per_sec(1000)
+        ups_1k, spread_1k, _ = batched_updates_per_sec(1000)
         extra["updates_per_sec_1k"] = round(ups_1k, 1)
+        extra["spread_pct_1k"] = round(spread_1k, 1)
         extra["vs_baseline_1k"] = round(ups_1k / orc_1k, 1)
         if os.environ.get("BENCH_SEQ") == "1":
             extra["sequential_updates_per_sec_1k"] = round(
                 sequential_updates_per_sec(1000), 1)
 
     if run_10k:
-        ups_10k = batched_updates_per_sec(10000)
+        ups_10k, spread_10k, ab_10k = batched_updates_per_sec(10000)
+        extra["spread_pct_10k"] = round(spread_10k, 1)
+        if ab_10k is not None:
+            extra["corr_ab_10k"] = ab_10k
         scale = ((10000 * 20003 ** 2 + 20003 ** 3)
                  / (1000 * 2003 ** 2 + 2003 ** 3))
         extrap = orc_1k / scale

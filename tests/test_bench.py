@@ -27,3 +27,7 @@ def test_bench_emits_one_json_line_with_contract_keys():
     assert rec["value"] > 0 and rec["vs_baseline"] > 0
     assert rec["metric"] == "ekf_updates_per_sec_chip_1000_landmarks"
     assert isinstance(rec.get("extra", {}), dict)
+    # round-4 statistical discipline: the spread of the in-invocation
+    # repetitions ships with the headline (VERDICT r3 weak item 1)
+    assert "spread_pct_1k" in rec["extra"], rec
+    assert rec["extra"]["spread_pct_1k"] >= 0
