@@ -57,13 +57,12 @@ def factor_from_state(state: FilterState) -> FilterState:
     Active rows are the leading 3+2·n_active (appends are in slot order), so
     the padded P is block-diagonal [P_active, 0]; augmenting the inactive
     diagonal with 1 makes Cholesky well-defined without touching the active
-    factor, then the inactive rows are zeroed back out."""
-    D = state.x.shape[0]
-    act = jnp.arange(D) < 3 + 2 * state.n_active
-    aug = jnp.where(act, jnp.zeros((D,), state.P.dtype),
-                    jnp.ones((D,), state.P.dtype))
-    L = jnp.linalg.cholesky(state.P + jnp.diag(aug))
-    return state._replace(P=L * act[:, None].astype(state.P.dtype))
+    factor, then the inactive rows are zeroed back out.  The factorization
+    is the blocked GEMM-dominated kernel (ops/blocked_chol.py) — at 10k+
+    landmarks XLA's own Cholesky panel recursion runs ~10× below matmul
+    rate (248 ms measured at D≈20k, BASELINE.md)."""
+    from ..ops.blocked_chol import chol_for_state
+    return state._replace(P=chol_for_state(state.P, state.n_active))
 
 
 def state_to_dense(state: FilterState) -> FilterState:

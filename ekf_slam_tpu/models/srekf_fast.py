@@ -249,13 +249,61 @@ def sr_predict_fast(state: FilterState, u: jnp.ndarray, params: EKFParams,
 def sr_recompress(state: FilterState) -> FilterState:
     """General factor → fresh lower-triangular factor of the same P.
 
-    One D×D GEMM (P = S·Sᵀ) + one dense Cholesky — both MXU-blocked ops,
-    unlike the Householder QR this schedule replaces.  Restores every
-    inactive/buffer column to exact zero, so the noise-column budget
-    resets.  Numerics: squares the factor once per buffer period (vs once
-    per tick for a dense-P filter), so conditioning stays ~√κ for the
-    ticks in between."""
-    return factor_from_state(state_to_dense(state))
+    One D×D GEMM (P = S·Sᵀ) + one blocked Cholesky
+    (ops/blocked_chol.chol_blocked: all O(D³) work as MXU GEMMs — XLA's
+    own Cholesky measured 248 ms at D≈20k, the wall that round 3 could
+    only amortize).  Restores every inactive/buffer column to exact
+    zero, so the noise-column budget resets.  Conditioning: the Gram
+    S·Sᵀ of a real factor is PSD by construction, but FORMING it squares
+    the condition number — the chol route is valid only for
+    κ(P) ≲ 1/eps of the working dtype; past that its panel Cholesky
+    hits a round-off-negative pivot and NaNs (observed under the f32
+    tiny-R stress, tests/test_srekf_fast.py).  When that happens the
+    recompression falls back (lax.cond — the branch is only executed
+    when taken) to QR re-triangularization of Sᵀ: orthogonal transforms
+    see only κ(S) = √κ(P), the square-root representation's actual
+    safety envelope, at XLA's (slow) Householder rate — an emergency
+    path, not a schedule."""
+    dense = state_to_dense(state)
+    tri = factor_from_state(dense)
+    D = tri.P.shape[0]
+    act = (jnp.arange(D) < 3 + 2 * state.n_active).astype(state.P.dtype)
+
+    def qr_path(_):
+        from .srekf import _retriangularize
+        return _retriangularize(state.P.T, D) * act[:, None]
+
+    ok = jnp.isfinite(jnp.diagonal(tri.P)).all()
+    L = jax.lax.cond(ok, lambda _: tri.P, qr_path, None)
+    return state._replace(P=L)
+
+
+def sr_update_panel(state: FilterState, zs: jnp.ndarray, slots: jnp.ndarray,
+                    Rs: jnp.ndarray, valid: jnp.ndarray, params: EKFParams
+                    ) -> FilterState:
+    """Strict-triangular joint update: the round-4 replacement for the
+    O((2M+D)³) QR pre-array (srekf.sr_update_batch) at scale.
+
+    Two phases, both MXU-dominated:
+      1. the chunked closed-form Andrews update (factor-space algebra
+         only — unconditionally PSD), O(M·D²) GEMMs;
+      2. fused re-triangularization: Gram + blocked Cholesky
+         (sr_recompress), O(D³/3) GEMMs + D/b small panel Choleskys.
+
+    Why not the textbook blocked partial-Householder (compact-WY panel
+    QR of the pre-array)?  Its panel factorization is a sequential
+    recurrence over 2M Householder columns — latency-bound on TPU, where
+    each tiny step pays vector-unit and loop overhead the MXU cannot
+    amortize.  The Gram-based route (CholeskyQR lineage) moves the same
+    information through matmuls; the innovation Gram is R-regularized
+    (benign), and the posterior is only ever represented through factors
+    so rounding cannot make it indefinite.  The irreducible premium of a
+    triangular-per-update factor is the Gram+chol (~D³·4/3 GEMM flops);
+    `srekf_fast` amortizes exactly that over the noise-buffer period —
+    set ``sr_noise_buffer=1`` in a session to get this strict mode
+    end-to-end (the per-tick recompress cond then always fires)."""
+    st = sr_update_chunked(state, zs, slots, Rs, valid, params)
+    return sr_recompress(st)
 
 
 # ---------------------------------------------------------------------------

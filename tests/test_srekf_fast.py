@@ -253,6 +253,90 @@ def test_session_srekf_fast_matches_batched():
                                rtol=1e-5, atol=1e-7)
 
 
+def test_update_panel_matches_dense_and_is_triangular():
+    """The round-4 strict-triangular update (Andrews + fused blocked
+    re-triangularization): posterior equals the dense joint update at f64
+    AND the output factor is lower-triangular with the buffer columns
+    exactly zero — per-update triangularity without the O((2M+D)³) QR."""
+    state, _ = make_pair(4, seed=21)
+    zs, slots, Rs, valid = batch_of(state, [0, 1, 3])
+    dense = batched.update_batch(state, zs, slots, Rs, valid, PARAMS)
+    sr0 = general_factor(with_buffer(state))
+    sr1 = srekf_fast.sr_update_panel(sr0, zs, slots, Rs, valid, PARAMS)
+    assert_factor_matches(sr1, dense, rtol=1e-7, atol=1e-9)
+    S = np.asarray(sr1.P)
+    assert np.allclose(S, np.tril(S))
+    assert np.all(S[:, state.dim:] == 0)
+
+
+def test_session_triangular_every_tick():
+    """sr_noise_buffer=1 turns srekf_fast into the strict-triangular
+    mode: the per-tick recompress cond always fires, so the POST-TICK
+    factor is always lower-triangular; trajectory parity vs the dense
+    batched session holds as in the buffered case."""
+    from ekf_slam_tpu.session import SlamSession
+    from test_sim_session import SIM_RANSAC, make_traj
+
+    traj, _ = make_traj(T=40)
+    common = dict(capacity=16, max_obs=8, ref_compat=False,
+                  dtype=jnp.float64)
+    tri_sess = SlamSession(
+        algorithm="EKF_SLAM_UC",
+        ekf_params=EKFParams(update_mode="srekf_fast", sr_noise_buffer=1,
+                             **common),
+        ransac_params=SIM_RANSAC, seed=1)
+    dn_sess = SlamSession(
+        algorithm="EKF_SLAM_UC",
+        ekf_params=EKFParams(update_mode="batched", **common),
+        ransac_params=SIM_RANSAC, seed=1)
+    tr_carry, tr_outs = tri_sess.run(traj.odom, traj.ranges,
+                                     traj.beam_angles)
+    dn_carry, dn_outs = dn_sess.run(traj.odom, traj.ranges,
+                                    traj.beam_angles)
+    assert int(tr_carry.filt.n_active) == int(dn_carry.filt.n_active) >= 1
+    S = np.asarray(tr_carry.filt.P)
+    assert np.allclose(S, np.tril(S))          # triangular after EVERY tick
+    assert np.all(S[:, tri_sess.ekf_params.dim:] == 0)   # buffer reclaimed
+    np.testing.assert_allclose(np.asarray(tr_outs.pose),
+                               np.asarray(dn_outs.pose),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_f32_panel_update_stays_psd_and_triangular():
+    """The strict-triangular path under the f32 tiny-R stress: the
+    re-triangularization goes through the factor Gram (PSD by
+    construction), so the triangular factor neither goes indefinite nor
+    non-finite where the dense form drifts."""
+    p32 = dataclasses.replace(PARAMS, dtype=jnp.float32)
+    state, _ = make_pair(4, seed=23)
+    state = state._replace(
+        x=state.x.astype(jnp.float32),
+        P=(state.P * 1e4).astype(jnp.float32),
+        sig=state.sig.astype(jnp.float32))
+    sr = srekf.factor_from_state(with_buffer(state))
+
+    zs, slots, _, valid = batch_of(state, [0, 1, 2, 3], nudge=0.0)
+    Rs = jnp.tile(jnp.asarray(np.diag([1e-6, 1e-6]), jnp.float32),
+                  (4, 1, 1))
+    zs = zs.astype(jnp.float32)
+
+    @jax.jit
+    def ticks(sr):
+        def body(s, _):
+            return srekf_fast.sr_update_panel(s, zs, slots, Rs, valid,
+                                              p32), None
+        return jax.lax.scan(body, sr, None, length=40)[0]
+
+    sr = ticks(sr)
+    S = np.asarray(sr.P)
+    assert np.all(np.isfinite(S))
+    assert np.allclose(S, np.tril(S))
+    d = 3 + 2 * int(state.n_active)
+    P_sr = (S @ S.T)[:d, :d].astype(np.float64)
+    eig = np.linalg.eigvalsh(0.5 * (P_sr + P_sr.T)).min()
+    assert eig >= -1e-6 * float(np.abs(P_sr).max())
+
+
 def test_config_rejects_ignored_dense_knobs():
     for kw in (dict(cov_dtype=jnp.bfloat16), dict(use_pallas=True),
                dict(joseph=True), dict(symmetrize=True),
