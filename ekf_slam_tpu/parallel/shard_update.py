@@ -69,18 +69,90 @@ def build_dense_ht(state: FilterState, zs, slots, Rs, valid,
     return Ht, nu, Rblk
 
 
+def systolic_syrk_downdate(P_local, W_full, axis: str, n_dev: int):
+    """Distributed P ← P − W·Wᵀ exploiting symmetry: the SYRK correction
+    (ops/pallas/kernels.syrk_downdate) brought to a row-sharded P.
+
+    Round-robin over pair distances s = 0..⌊n/2⌋: at step s, device i
+    computes the unordered-pair Gram ``acc = W_i·W_{i−s}ᵀ`` ONCE on the
+    MXU, writes its own tile (i, i−s), and ppermutes ``accᵀ`` to device
+    i−s — whose mirror tile (i−s, i) is the transpose by definition.  So
+    each device does (⌊n/2⌋+1)/n of the full Gram's flops (the
+    single-chip kernel's ~half-flops property, distributed) and the
+    output is bit-symmetric (both tiles of a pair come from the same
+    accumulator, like the single-chip mirror).
+
+    Communication: ⌊(n−1)/2⌋ ppermutes of one (D/n)² tile each ride the
+    ``axis`` ring — O(D²/(2n)) bytes/device/update.  That is OUTSIDE the
+    O(D·M) budget of the gemm-form update (module doc), so this is a
+    measured trade: the exchange beats the recompute whenever
+    bytes/(ICI rate) < 2·t²·2M/(MXU rate) — at M=4096 bf16 on ICI-class
+    links the exchange wins ~6×; on DCN it loses.  SCALING.md carries
+    the audit row; the gemm correction stays available where the budget
+    rules.
+
+    For even n the antipodal step s = n/2 is computed on both members of
+    the pair (comm-free) rather than exchanged.
+
+    Must be called INSIDE a shard_map body with ``axis`` bound.
+    P_local: [D/n, D]; W_full: [D, 2M] replicated."""
+    D = W_full.shape[0]
+    r = D // n_dev
+    dt = P_local.dtype
+    fast16 = dt == jnp.bfloat16
+    acc_dt = jnp.float32 if dt in (jnp.bfloat16, jnp.float32) else dt
+    i = jax.lax.axis_index(axis)
+    zero = jnp.zeros((), jnp.int32)
+
+    def wtile(j):
+        t = jax.lax.dynamic_slice(
+            W_full, (j.astype(jnp.int32) * r, zero), (r, W_full.shape[1]))
+        return t.astype(jnp.bfloat16) if fast16 else t
+
+    def sub_tile(out, j, acc):
+        """out[:, j·r:(j+1)·r] −= acc, subtracting in the accumulation
+        dtype (the storage may be bf16)."""
+        c0 = (j.astype(jnp.int32) * r, )
+        cur = jax.lax.dynamic_slice(out, (zero, c0[0]), (r, r))
+        new = (cur.astype(acc_dt) - acc).astype(dt)
+        return jax.lax.dynamic_update_slice(out, new, (zero, c0[0]))
+
+    Wi = wtile(i)
+    out = P_local
+    half = n_dev // 2
+    for s in range(half + 1):
+        j = jnp.mod(i - s, n_dev)
+        acc = jnp.matmul(Wi, wtile(j).T, preferred_element_type=acc_dt)
+        out = sub_tile(out, j, acc)
+        if s == 0 or (n_dev % 2 == 0 and s == half):
+            continue          # diagonal / antipodal double-compute steps
+        perm = [(k, (k - s) % n_dev) for k in range(n_dev)]
+        accT = jax.lax.ppermute(acc.T, axis, perm)   # from device i+s
+        out = sub_tile(out, jnp.mod(i + s, n_dev), accT)
+    return out
+
+
 def sharded_update_batch(state: FilterState, zs, slots, Rs, valid,
                          params: EKFParams, mesh: Mesh,
                          axis: str = "map") -> FilterState:
     """Distributed joint update with explicit collectives (see module doc).
 
     ``state.P`` must have D divisible by the mesh's map axis (use
-    ``init_state(pad_to_multiple_of=...)``)."""
+    ``init_state(pad_to_multiple_of=...)``).
+
+    ``params.correction`` selects the covariance-correction form:
+      'gemm' — Kg·PHtᵀ with one all_gather of PHt (O(D·M) bytes, the
+               audited default);
+      'syrk' — W = PHt·L⁻ᵀ, one all_gather of W (same O(D·M) bytes in
+               place of PHt's), then the systolic symmetric downdate
+               (half flops + bit-symmetric P, plus O(D²/2n) ppermute
+               bytes — see systolic_syrk_downdate for the trade)."""
     Ht, nu, Rblk = build_dense_ht(state, zs, slots, Rs, valid, params)
     D = state.x.shape[0]
     n_dev = mesh.shape[axis]
     rows_per = D // n_dev
     dt = state.P.dtype
+    syrk = params.correction == "syrk"
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(axis, None), P(), P(), P()),
@@ -96,6 +168,25 @@ def sharded_update_batch(state: FilterState, zs, slots, Rs, valid,
             Ht, (r0, zero), (rows_per, Ht.shape[1]))         # [rows,2M]
         S = jax.lax.psum(Ht_rows.T @ PHt_local, axis)        # [2M,2M]
         S = S + Rblk
+
+        if syrk:
+            # Kg·(H·P) = W·Wᵀ with W = PHᵀ·L⁻ᵀ (S = L·Lᵀ): same algebra
+            # as the single-chip syrk path (models/batched.update_batch)
+            L = jnp.linalg.cholesky(S)
+            eye = jnp.eye(S.shape[0], dtype=S.dtype)
+            Linv = jax.lax.linalg.triangular_solve(
+                L, eye, left_side=True, lower=True)
+            W_local = PHt_local @ Linv.T                     # [rows,2M]
+            dx_local = W_local @ (Linv @ nu)                 # [rows]
+            dx = jnp.zeros((D,), dt)
+            dx = jax.lax.dynamic_update_slice(dx, dx_local, (r0,))
+            dx = jax.lax.psum(dx, axis)
+            # one all_gather of W (replaces the gemm form's PHt gather —
+            # identical O(D·M) byte volume), then the mirror exchange
+            W_full = jax.lax.all_gather(W_local, axis, tiled=True)
+            P_local = systolic_syrk_downdate(P_local, W_full, axis,
+                                             n_dev)
+            return P_local, dx
 
         chol = jax.scipy.linalg.cho_factor(S, lower=True)
         Kg_local = jax.scipy.linalg.cho_solve(chol, PHt_local.T).T

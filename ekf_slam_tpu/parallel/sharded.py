@@ -85,14 +85,18 @@ class ShardedSlamSession:
                 "ShardedSlamSession row-shards the dense covariance; "
                 "square-root modes are not supported (their factor is not "
                 "row-shardable by this layout)")
-        # correction='syrk' is a single-chip Pallas kernel: under a
-        # row-sharded P, GSPMD would have to gather the full covariance to
-        # run it.  The corrections are semantically identical (same W·Wᵀ
-        # downdate, different schedule), so revert to the distributed GEMM
-        # form rather than reject — utils/schedule.tuned_params output
-        # (bf16+syrk for large maps) stays directly usable here (same
-        # auto-configuration precedent as masked_writes below).
-        if self.ekf_params.correction == "syrk":
+        # correction='syrk' under sharding: the shard_map update carries a
+        # distributed form (parallel/shard_update.systolic_syrk_downdate —
+        # half flops via the mirror exchange, bit-symmetric P), so it is
+        # honored there.  Under GSPMD the single-chip Pallas kernel would
+        # force a full-P gather, and the corrections are semantically
+        # identical (same W·Wᵀ downdate, different schedule) — revert to
+        # the distributed GEMM form rather than reject, so
+        # utils/schedule.tuned_params output (bf16+syrk for large maps)
+        # stays directly usable (same auto-configuration precedent as
+        # masked_writes below).
+        if (self.ekf_params.correction == "syrk"
+                and self.update_path != "shard_map"):
             self.ekf_params = dataclasses.replace(self.ekf_params,
                                                   correction="gemm")
         if self.update_path == "shard_map":

@@ -170,6 +170,17 @@ def analyze_update_batch(n_dev: int, K: int, M: int):
                                                 params, mesh))
     b1, c1 = collective_bytes(f1.lower(st).compile().as_text())
 
+    # round 4: the distributed SYRK correction — one W all-gather (same
+    # O(D·M) as PHt's) plus the systolic mirror-exchange ppermutes
+    # (O(D²/2n) per device); the audit prices that trade explicitly
+    import dataclasses
+    p_syrk = dataclasses.replace(params, correction="syrk")
+    f3 = jax.jit(lambda s: sharded_update_batch(s, zs, slots, Rs, valid,
+                                                p_syrk, mesh))
+    b3, c3 = collective_bytes(f3.lower(st).compile().as_text())
+    out["shard_map_syrk"] = {"bytes": b3, "counts": c3,
+                             "total": int(sum(b3.values()))}
+
     def g(s):
         o = update_batch(s, zs, slots, Rs, valid, params)
         return o._replace(P=jax.lax.with_sharding_constraint(

@@ -53,6 +53,56 @@ def test_shard_map_update_matches_single_device():
                                rtol=1e-8, atol=1e-11)
 
 
+def test_shard_map_syrk_matches_gemm_and_is_bit_symmetric():
+    """The distributed SYRK correction (systolic mirror exchange): same
+    posterior as the sharded gemm form and the single-device update, and
+    the output covariance is BIT-symmetric (each tile pair is written
+    from one accumulator — the single-chip kernel's property carried
+    onto the mesh)."""
+    import dataclasses
+    params = EKFParams(capacity=8, ref_compat=False, dtype=jnp.float64)
+    state = make_state(params, 4, seed=7)
+    rng = np.random.default_rng(4)
+    zs, Rs = [], []
+    for slot in [0, 3, 1, 2]:
+        z = measurement_of(state, slot, noise=0.02, rng=rng)
+        zs.append(z)
+        Rs.append(np.diag([abs(z[0]) * 0.1, abs(z[1]) * 5.0]))
+    zs = jnp.asarray(np.stack(zs))
+    Rs = jnp.asarray(np.stack(Rs))
+    slots = jnp.asarray([0, 3, 1, 2])
+    valid = jnp.ones((4,), bool)
+
+    mesh = make_mesh()
+    p_syrk = dataclasses.replace(params, correction="syrk")
+    out_s = sharded_update_batch(state, zs, slots, Rs, valid, p_syrk, mesh)
+    out_g = sharded_update_batch(state, zs, slots, Rs, valid, params, mesh)
+    ref = batched.update_batch(state, zs, slots, Rs, valid, params)
+
+    np.testing.assert_allclose(np.asarray(out_s.x), np.asarray(ref.x),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out_s.P), np.asarray(out_g.P),
+                               rtol=1e-8, atol=1e-11)
+    P = np.asarray(out_s.P)
+    assert np.array_equal(P, P.T)          # bit-symmetric
+
+
+def test_sharded_session_routes_syrk():
+    """ShardedSlamSession honors correction='syrk' on the shard_map path
+    (no more silent downgrade) and still reverts it under gspmd."""
+    import dataclasses
+    from ekf_slam_tpu.parallel.sharded import ShardedSlamSession
+    mesh = make_mesh()
+    p = EKFParams(capacity=8, ref_compat=False, update_mode="batched",
+                  correction="syrk", symmetrize=False)
+    s_map = ShardedSlamSession(mesh=mesh, ekf_params=p,
+                               update_path="shard_map")
+    assert s_map.ekf_params.correction == "syrk"
+    s_gspmd = ShardedSlamSession(mesh=mesh, ekf_params=p,
+                                 update_path="gspmd")
+    assert s_gspmd.ekf_params.correction == "gemm"
+
+
 def test_shard_map_update_masked_rows():
     params = EKFParams(capacity=8, ref_compat=False, dtype=jnp.float64)
     state = make_state(params, 3, seed=5)
