@@ -213,6 +213,167 @@ def sharded_update_batch(state: FilterState, zs, slots, Rs, valid,
     return state._replace(x=x, P=P_new)
 
 
+def sr_update_sharded(state: FilterState, zs, slots, Rs, valid,
+                      params: EKFParams, mesh: Mesh,
+                      axis: str = "map") -> FilterState:
+    """Distributed closed-form Andrews square-root update (the
+    models/srekf_fast.sr_update_andrews math) over a ROW-SHARDED general
+    factor S — PSD-by-construction filtering at map scale (round-4 lift
+    of the sharded session's square-root rejection).
+
+    The collective footprint is SMALLER than the dense path's: the
+    correction S' = S − (S·Gᵀ)·Y is row-local once G and Y are known, so
+    the only collectives are
+
+      1. one psum assembling H·S [2M,D] from per-device row
+         contributions (H touches the 3 pose rows + one row pair per
+         gated landmark — each device contributes the rows it owns);
+      2. the usual O(D) psum assembling the state correction.
+
+    No all-gather at all — O(D·M) bytes total, vs the dense form's PHt
+    gather PLUS the same-size psum.  The 2M×2M innovation algebra
+    (Cholesky, triangular inverses) is computed replicated on every
+    device, like the dense path's solve.
+
+    Chunking (`params.update_chunks`) applies outside, as in
+    sr_update_chunked."""
+    from ..models.batched import _innovation_blocks
+    from ..models.srekf_fast import _sqrt_noise_block
+
+    x = state.x
+    Dtot = state.P.shape[0]          # includes noise-buffer columns
+    M = zs.shape[0]
+    dt = state.P.dtype
+    n_dev = mesh.shape[axis]
+    rows_per = Dtot // n_dev
+
+    # replicated observation-model pieces (masked like the single-chip
+    # path: invalid slots → zero Jacobian rows, identity R blocks)
+    zhat, A, B = _innovation_blocks(x, slots, params)
+    vmask = valid.astype(dt)
+    A = A * vmask[:, None, None]                               # [M,2,3]
+    B = B * vmask[:, None, None]                               # [M,2,2]
+    nu = zs[:, :2].astype(dt) - zhat
+    if not params.ref_compat:
+        nu = nu.at[:, 1].set(wrap_to_180(nu[:, 1]))
+    nu = (nu * vmask[:, None]).reshape(2 * M)
+    sqR = _sqrt_noise_block(Rs, valid, dt)                     # [2M,2M]
+    rows = (3 + 2 * slots).astype(jnp.int32)                   # i32[M]
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(axis, None), P(), P(), P(), P(), P()),
+             out_specs=(P(axis, None), P()))
+    def upd(S_local, A, B, nu, sqR, rows):
+        d = jax.lax.axis_index(axis)
+        r0 = (d * rows_per).astype(jnp.int32)
+
+        # -- 1. H·S from locally-owned rows, psum-assembled ------------
+        # pose rows 0..2 live on device 0 (masked elsewhere)
+        pose_own = (d == 0).astype(dt)
+        Spose = S_local[:3, :] * pose_own                      # [3,Dtot]
+        HS = jnp.einsum("mij,jd->mid", A, Spose)               # [M,2,Dtot]
+        # landmark coordinate rows: global rows (rows+j); a pair may
+        # straddle a device boundary, so each of the two rows is gathered
+        # and masked independently
+        for j in (0, 1):
+            g = rows + j                                       # i32[M]
+            own = ((g >= r0) & (g < r0 + rows_per))
+            loc = jnp.clip(g - r0, 0, rows_per - 1)
+            Srows = jnp.take(S_local, loc, axis=0)             # [M,Dtot]
+            Srows = Srows * own.astype(dt)[:, None]
+            HS = HS + B[:, :, j][:, :, None] * Srows[:, None, :]
+        HS = jax.lax.psum(HS.reshape(2 * M, Dtot), axis)       # [2M,Dtot]
+
+        # -- 2. replicated innovation algebra (srekf_fast math) --------
+        Sm = HS @ HS.T
+        idx = jnp.arange(M)
+        d0, d1 = 2 * idx, 2 * idx + 1
+        Sm = Sm.at[d0, d0].add(sqR[d0, d0] ** 2)
+        Sm = Sm.at[d1, d0].add(sqR[d1, d0] * sqR[d0, d0])
+        Sm = Sm.at[d0, d1].add(sqR[d1, d0] * sqR[d0, d0])
+        Sm = Sm.at[d1, d1].add(sqR[d1, d0] ** 2 + sqR[d1, d1] ** 2)
+        eye = jnp.eye(2 * M, dtype=dt)
+        C = jnp.linalg.cholesky(Sm)
+        Cinv = jax.lax.linalg.triangular_solve(C, eye, left_side=True,
+                                               lower=True)
+        G = Cinv @ HS                                          # [2M,Dtot]
+        Wm = Cinv @ sqR
+        y = Cinv @ nu
+        IW = Wm.at[jnp.arange(2 * M), jnp.arange(2 * M)].add(1.0)
+        IWinv = jax.lax.linalg.triangular_solve(IW, eye, left_side=True,
+                                                lower=True)
+        Y = IWinv @ G                                          # [2M,Dtot]
+
+        # -- 3. row-local factor correction + psum-assembled dx --------
+        SGt_local = S_local @ G.T                              # [rows,2M]
+        dx_local = SGt_local @ y
+        dx = jnp.zeros((Dtot,), dt)
+        dx = jax.lax.dynamic_update_slice(dx, dx_local, (r0,))
+        dx = jax.lax.psum(dx, axis)
+        S_local = S_local - SGt_local @ Y                      # local GEMM
+        return S_local, dx
+
+    S_new, dx = upd(state.P, A, B, nu, sqR, rows)
+    x = state.x + dx
+    act = jnp.arange(Dtot) < 3 + 2 * state.n_active
+    return state._replace(x=x, P=S_new * act[:, None].astype(dt))
+
+
+def sr_update_sharded_chunked(state: FilterState, zs, slots, Rs, valid,
+                              params: EKFParams, mesh: Mesh,
+                              axis: str = "map") -> FilterState:
+    """``sr_update_sharded`` in ``params.update_chunks`` sequential
+    chunks — the same scheduling economics as srekf_fast's
+    sr_update_chunked (quadratic innovation terms shrink by G²)."""
+    G = max(1, int(params.update_chunks))
+    M = zs.shape[0]
+    if G == 1 or G >= M:
+        return sr_update_sharded(state, zs, slots, Rs, valid, params,
+                                 mesh, axis)
+    m = -(-M // G)
+    for g0 in range(0, M, m):
+        sl = slice(g0, min(g0 + m, M))
+        state = sr_update_sharded(state, zs[sl], slots[sl], Rs[sl],
+                                  valid[sl], params, mesh, axis)
+    return state
+
+
+def sr_measure_shard_map(state: FilterState, obs, u, params: EKFParams,
+                         mesh: Mesh, axis: str = "map") -> FilterState:
+    """Square-root measurement phase over the sharded mesh: gate from
+    full-width factor strips, one chunked distributed Andrews update,
+    then the O(D) sequential appends (GSPMD-placed dynamic writes) —
+    the srekf_fast.sr_measure_fast flow with the joint update routed
+    through sr_update_sharded."""
+    import jax
+    from jax import lax
+
+    from ..models.srekf import sr_append, sr_strips
+    from ..ops.association import gate_batch
+
+    rc0 = jnp.asarray(params.rc[0], params.dtype)
+    rc1 = jnp.asarray(params.rc[1], params.dtype)
+    zs = jnp.stack([obs.rng, obs.bearing,
+                    obs.index.astype(params.dtype)], axis=-1)
+    Rs = jax.vmap(lambda z: jnp.diag(
+        jnp.stack([z[0] * rc0, z[1] * rc1])))(zs)
+
+    strips = sr_strips(state.P, state.capacity, triangular=False)
+    is_new, slots = gate_batch(state, zs, Rs, params, strips=strips)
+    first = state.n_active == 0
+    is_new = jnp.logical_or(is_new, first)
+
+    upd_valid = obs.valid & ~is_new
+    state = sr_update_sharded_chunked(state, zs, slots, Rs, upd_valid,
+                                      params, mesh, axis)
+
+    def body(ii, s):
+        def do(s):
+            return sr_append(s, u, Rs[ii], obs.loc[ii], zs[ii, 2], params)
+        return lax.cond(obs.valid[ii] & is_new[ii], do, lambda s: s, s)
+    return lax.fori_loop(0, zs.shape[0], body, state)
+
+
 def measure_batched_shard_map(state: FilterState, obs, u, params: EKFParams,
                               mesh: Mesh, axis: str = "map") -> FilterState:
     """Measurement phase with the explicit-collective joint update.

@@ -80,11 +80,19 @@ class ShardedSlamSession:
         # silently running something else (the SlamSession construction-time
         # standard; ICP/fused control and map maintenance are likewise not
         # constructor surface here — the sharded step is odometry-driven).
-        if self.ekf_params.update_mode in ("srekf", "srekf_fast"):
+        if self.ekf_params.update_mode == "srekf":
             raise NotImplementedError(
-                "ShardedSlamSession row-shards the dense covariance; "
-                "square-root modes are not supported (their factor is not "
-                "row-shardable by this layout)")
+                "ShardedSlamSession does not support the triangular QR "
+                "srekf (its pre-array QR is not row-shardable); use "
+                "update_mode='srekf_fast' with update_path='shard_map' — "
+                "the distributed Andrews update "
+                "(parallel/shard_update.sr_update_sharded)")
+        if (self.ekf_params.update_mode == "srekf_fast"
+                and self.update_path != "shard_map"):
+            raise NotImplementedError(
+                "sharded srekf_fast runs through the explicit-collective "
+                "distributed Andrews update: set update_path='shard_map' "
+                "(GSPMD would gather the factor for the row gathers)")
         # correction='syrk' under sharding: the shard_map update carries a
         # distributed form (parallel/shard_update.systolic_syrk_downdate —
         # half flops via the mirror exchange, bit-symmetric P), so it is
@@ -100,10 +108,10 @@ class ShardedSlamSession:
             self.ekf_params = dataclasses.replace(self.ekf_params,
                                                   correction="gemm")
         if self.update_path == "shard_map":
-            if self.ekf_params.update_mode != "batched":
+            if self.ekf_params.update_mode not in ("batched", "srekf_fast"):
                 raise ValueError(
-                    "update_path='shard_map' implements the batched joint "
-                    "update; set update_mode='batched' "
+                    "update_path='shard_map' implements the batched and "
+                    "srekf_fast joint updates "
                     f"(got {self.ekf_params.update_mode!r})")
             if self.ekf_params.symmetrize:
                 raise ValueError(
@@ -114,9 +122,11 @@ class ShardedSlamSession:
         # scatter/dynamic-slice writes into a row-sharded P make GSPMD
         # all-gather the whole covariance (3×P bytes/tick measured by
         # experiments/scaling_harness.py); the masked elementwise forms
-        # stay local.
-        self.ekf_params = dataclasses.replace(self.ekf_params,
-                                              masked_writes=True)
+        # stay local.  (srekf_fast validates masked_writes away — its
+        # factor writes are the O(D) predict/append slices.)
+        if self.ekf_params.update_mode != "srekf_fast":
+            self.ekf_params = dataclasses.replace(self.ekf_params,
+                                                  masked_writes=True)
         self.n_map = self.mesh.shape["map"]
         ep, rp = self.ekf_params, self.ransac_params
         mesh = self.mesh
@@ -129,14 +139,24 @@ class ShardedSlamSession:
             u = jnp.stack([dD, dTh]).astype(ep.dtype)
 
             filt = _constrain(carry.filt, mesh)
-            filt = _constrain(ekf.predict(filt, u, ep), mesh)
+            sr_tick = carry.sr_tick
+            if ep.update_mode == "srekf_fast":
+                from ..models.srekf_fast import sr_predict_fast
+                col = ep.dim + jnp.mod(carry.sr_tick, ep.sr_noise_buffer)
+                filt = _constrain(sr_predict_fast(filt, u, ep, col), mesh)
+            else:
+                filt = _constrain(ekf.predict(filt, u, ep), mesh)
 
             key, sub = jax.random.split(carry.key)
             scan = scan_from_ranges(ranges, beam_angles)
             obs, table = extract(carry.table, scan, filt.x, filt.n_active,
                                  sub, rp, ep.max_obs)
             pre_measure = filt
-            if self.update_path == "shard_map":
+            if ep.update_mode == "srekf_fast":
+                from .shard_update import sr_measure_shard_map
+                filt = _constrain(
+                    sr_measure_shard_map(filt, obs, u, ep, mesh), mesh)
+            elif self.update_path == "shard_map":
                 from .shard_update import measure_batched_shard_map
                 filt = _constrain(
                     measure_batched_shard_map(filt, obs, u, ep, mesh), mesh)
@@ -149,13 +169,25 @@ class ShardedSlamSession:
                 # same tick-rollback guard as SlamSession (utils/faults.py);
                 # the verdict reduction is O(D) and sharding-agnostic
                 from ..utils.faults import guarded
-                filt, _ = guarded(pre_measure, filt, ep.guard_max_jump)
+                filt, _ = guarded(
+                    pre_measure, filt, ep.guard_max_jump,
+                    factored=ep.update_mode == "srekf_fast")
+            if ep.update_mode == "srekf_fast":
+                # periodic factor recompression (GSPMD-placed Gram +
+                # blocked Cholesky — a distributed GEMM; amortized over
+                # the noise-buffer period like the single-chip session)
+                from ..models.srekf_fast import sr_recompress
+                filt = jax.lax.cond(
+                    jnp.mod(carry.sr_tick + 1, ep.sr_noise_buffer) == 0,
+                    sr_recompress, lambda s: s, filt)
+                filt = _constrain(filt, mesh)
+                sr_tick = carry.sr_tick + 1
 
             out = StepOutput(pose=filt.x[:3], n_active=filt.n_active,
                              n_obs=jnp.sum(obs.valid).astype(jnp.int32),
                              u=u, obs=obs)
             return SessionCarry(filt, table, odom_pose.astype(ep.dtype),
-                                key), out
+                                key, sr_tick=sr_tick), out
 
         self._step = jax.jit(step)
 
@@ -169,8 +201,17 @@ class ShardedSlamSession:
 
     # -- construction -------------------------------------------------------
     def init_carry(self, first_odom=None) -> SessionCarry:
-        filt = init_state(self.ekf_params,
-                          pad_to_multiple_of=8 * self.n_map)
+        sr_tick = None
+        if self.ekf_params.update_mode == "srekf_fast":
+            from ..models.srekf import factor_from_state
+            filt = init_state(self.ekf_params,
+                              pad_to_multiple_of=8 * self.n_map,
+                              extra_dims=self.ekf_params.sr_noise_buffer)
+            filt = factor_from_state(filt)
+            sr_tick = jnp.zeros((), jnp.int32)
+        else:
+            filt = init_state(self.ekf_params,
+                              pad_to_multiple_of=8 * self.n_map)
         filt = jax.device_put(filt, NamedSharding(self.mesh, P()))
         filt = filt._replace(P=jax.device_put(
             filt.P, NamedSharding(self.mesh, P("map", None))))
@@ -181,6 +222,7 @@ class ShardedSlamSession:
             table=init_table(self.ransac_params),
             old_odom=old,
             key=jax.random.PRNGKey(self.seed),
+            sr_tick=sr_tick,
         )
 
     # -- public API ---------------------------------------------------------

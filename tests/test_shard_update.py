@@ -103,6 +103,55 @@ def test_sharded_session_routes_syrk():
     assert s_gspmd.ekf_params.correction == "gemm"
 
 
+def test_sharded_sr_update_matches_andrews():
+    """Distributed Andrews square-root update over a row-sharded general
+    factor vs the single-device sr_update_andrews: same posterior factor
+    Gram and mean at f64 (the round-4 lift of the sharded session's
+    square-root rejection).  The factor carries noise-buffer columns and
+    a landmark row pair straddling a device boundary."""
+    import dataclasses
+    from ekf_slam_tpu.models import srekf, srekf_fast
+    from ekf_slam_tpu.parallel.shard_update import sr_update_sharded
+
+    params = EKFParams(capacity=8, ref_compat=False, dtype=jnp.float64,
+                       update_mode="srekf_fast", sr_noise_buffer=4)
+    # D = 3+16+4 = 23 → pad to 24 = 8 devices × 3 rows; landmark slot 0's
+    # pair is rows (3,4) — straddling the device-0/1 boundary at row 3? no:
+    # rows_per=3 → boundaries at 3,6,...: pair (3,4) starts ON a boundary,
+    # pair (5,6) straddles one.  Slots 0..3 cover both cases.
+    base = make_state(dataclasses.replace(params, sr_noise_buffer=4), 4,
+                      seed=11)
+    D = base.dim
+    Dtot = 24
+    x = jnp.zeros((Dtot,), base.x.dtype).at[:D].set(base.x)
+    P = jnp.zeros((Dtot, Dtot), base.P.dtype).at[:D, :D].set(base.P)
+    sr = srekf.factor_from_state(base._replace(x=x, P=P))
+    # deposit a noise column so the general-factor (non-triangular) path
+    # is exercised
+    sr = sr._replace(P=sr.P.at[:3, D].set(jnp.asarray([0.1, -0.2, 0.05])))
+
+    rng = np.random.default_rng(6)
+    zs, Rs = [], []
+    for slot in [0, 1, 2, 3]:
+        z = measurement_of(base, slot, noise=0.02, rng=rng)
+        zs.append(z)
+        Rs.append(np.diag([abs(z[0]) * 0.1, abs(z[1]) * 5.0]))
+    zs = jnp.asarray(np.stack(zs))
+    Rs = jnp.asarray(np.stack(Rs))
+    slots = jnp.asarray([0, 1, 2, 3])
+    valid = jnp.asarray([True, True, False, True])   # one masked lane
+
+    ref = srekf_fast.sr_update_andrews(sr, zs, slots, Rs, valid, params)
+    mesh = make_mesh()
+    out = sr_update_sharded(sr, zs, slots, Rs, valid, params, mesh)
+
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.P @ out.P.T),
+                               np.asarray(ref.P @ ref.P.T),
+                               rtol=1e-8, atol=1e-11)
+
+
 def test_shard_map_update_masked_rows():
     params = EKFParams(capacity=8, ref_compat=False, dtype=jnp.float64)
     state = make_state(params, 3, seed=5)

@@ -229,3 +229,46 @@ def test_sharded_supports_guard_max_jump():
     np.testing.assert_allclose(np.asarray(c1.filt.x[:d]),
                                np.asarray(c0.filt.x[:d]),
                                rtol=1e-9, atol=1e-11)
+
+
+def test_sharded_srekf_fast_session_matches_unsharded():
+    """Round-4 lift: the sharded session runs the square-root filter
+    (update_mode='srekf_fast', update_path='shard_map' — distributed
+    Andrews update, parallel/shard_update.sr_update_sharded) and tracks
+    the unsharded srekf_fast session; the carried factor reproduces the
+    same covariance."""
+    traj, _ = make_traj(T=30)
+    ep = EKFParams(capacity=16, max_obs=8, ref_compat=False,
+                   dtype=jnp.float64, update_mode="srekf_fast",
+                   sr_noise_buffer=8)
+    ref = SlamSession(ekf_params=ep, ransac_params=SIM_RANSAC, seed=5)
+    c_ref, o_ref = ref.run(traj.odom, traj.ranges, traj.beam_angles)
+
+    sh = ShardedSlamSession(mesh=make_mesh(), ekf_params=ep,
+                            ransac_params=SIM_RANSAC, seed=5,
+                            update_path="shard_map")
+    c_sh, o_sh = sh.run(traj.odom, traj.ranges, traj.beam_angles)
+
+    assert int(c_ref.filt.n_active) == int(c_sh.filt.n_active) >= 1
+    assert int(c_sh.sr_tick) == 30
+    d = 3 + 2 * int(c_ref.filt.n_active)
+    np.testing.assert_allclose(np.asarray(c_sh.filt.x[:d]),
+                               np.asarray(c_ref.filt.x[:d]),
+                               rtol=1e-8, atol=1e-10)
+    P_sh = np.asarray(c_sh.filt.P @ c_sh.filt.P.T)[:d, :d]
+    P_ref = np.asarray(c_ref.filt.P @ c_ref.filt.P.T)[:d, :d]
+    np.testing.assert_allclose(P_sh, P_ref, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(o_sh.pose),
+                               np.asarray(o_ref.pose), atol=1e-8)
+
+
+def test_sharded_rejects_unsupported_sr_configs():
+    import pytest
+    ep_qr = EKFParams(capacity=16, ref_compat=False, update_mode="srekf")
+    with pytest.raises(NotImplementedError):
+        ShardedSlamSession(mesh=make_mesh(), ekf_params=ep_qr)
+    ep_fast = EKFParams(capacity=16, ref_compat=False,
+                        update_mode="srekf_fast")
+    with pytest.raises(NotImplementedError):
+        ShardedSlamSession(mesh=make_mesh(), ekf_params=ep_fast,
+                           update_path="gspmd")
