@@ -62,7 +62,7 @@ from ..ops.observations import ObsBatch
 from ..state import FilterState
 from . import ekf
 from .batched import _innovation_blocks
-from .srekf import factor_from_state, sr_append, sr_strips, state_to_dense
+from .srekf import sr_append, sr_strips
 
 
 def buffer_start(state: FilterState) -> int:
@@ -264,8 +264,13 @@ def sr_recompress(state: FilterState) -> FilterState:
     see only κ(S) = √κ(P), the square-root representation's actual
     safety envelope, at XLA's (slow) Householder rate — an emergency
     path, not a schedule."""
-    dense = state_to_dense(state)
-    tri = factor_from_state(dense)
+    from ..ops.blocked_chol import chol_for_state
+    from ..ops.pallas.kernels import syrk_gram
+    # the Gram at half flops (lower tiles + MXU mirror) when the factor
+    # dim divides the kernel tile; plain matmul otherwise
+    G = syrk_gram(state.P).astype(state.P.dtype)
+    L_tri = chol_for_state(G, state.n_active)
+    tri = state._replace(P=L_tri)
     D = tri.P.shape[0]
     act = (jnp.arange(D) < 3 + 2 * state.n_active).astype(state.P.dtype)
 

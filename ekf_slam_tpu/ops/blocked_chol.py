@@ -35,6 +35,28 @@ from jax import lax
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
+def tri_inv_blocked(L: jnp.ndarray, block: int = 512) -> jnp.ndarray:
+    """L⁻¹ for lower-triangular L with the O(d³) work as GEMMs.
+
+    Recursive 2×2 block partition: inv([[A,0],[B,C]]) =
+    [[A⁻¹,0],[−C⁻¹·B·A⁻¹, C⁻¹]] — only ≤``block``-sized trsms remain
+    (TPU TRSM against a wide RHS runs ~6× below GEMM rate, the measured
+    wall models/batched.py documents)."""
+    d = L.shape[0]
+    if d <= block:
+        return lax.linalg.triangular_solve(
+            L, jnp.eye(d, dtype=L.dtype), left_side=True, lower=True)
+    h = max(block, ((d // 2) // block) * block)
+    A, B, C = L[:h, :h], L[h:, :h], L[h:, h:]
+    Ai = tri_inv_blocked(A, block=block)
+    Ci = tri_inv_blocked(C, block=block)
+    low = -Ci @ (B @ Ai)
+    top = jnp.concatenate([Ai, jnp.zeros((h, d - h), L.dtype)], axis=1)
+    return jnp.concatenate([top, jnp.concatenate([low, Ci], axis=1)],
+                           axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
 def chol_blocked(A: jnp.ndarray, block: int = 512) -> jnp.ndarray:
     """Lower Cholesky factor of symmetric positive-definite ``A``.
 
@@ -45,21 +67,25 @@ def chol_blocked(A: jnp.ndarray, block: int = 512) -> jnp.ndarray:
     upper triangle is exactly zero.
     """
     D = A.shape[0]
-    if D <= block:
+    if D <= min(block, 512):
         return jnp.linalg.cholesky(A)
+    if D <= block:
+        # recursive panel: a large diagonal block factors through the
+        # same GEMM-dominated scheme at block 512 (chip: XLA's chol of a
+        # 1024-2048 panel is itself panel-sequential)
+        return chol_blocked(A, block=512)
     dt = A.dtype
-    eye_b = jnp.eye(block, dtype=dt)
     cols = []                       # finished [D-k0, b] column panels
     trail = A                       # trailing Schur complement, shrinking
     for k0 in range(0, D, block):
         b = min(block, D - k0)
         Akk = trail[:b, :b]
-        Lkk = jnp.linalg.cholesky(Akk)
+        Lkk = (jnp.linalg.cholesky(Akk) if b <= 512
+               else chol_blocked(Akk, block=512))
         if k0 + b >= D:
             cols.append(Lkk)
             break
-        Lkk_inv = lax.linalg.triangular_solve(
-            Lkk, eye_b[:b, :b], left_side=True, lower=True)
+        Lkk_inv = tri_inv_blocked(Lkk)
         Lcol = trail[b:, :b] @ Lkk_inv.T              # [D-k0-b, b] GEMM
         cols.append(jnp.concatenate([Lkk, Lcol], axis=0))
         trail = trail[b:, b:] - jnp.matmul(

@@ -357,6 +357,114 @@ def syrk_downdate_pallas(P: jnp.ndarray, W: jnp.ndarray, tile: int = 512,
     )(wi, wj, ss, pr, pc, P, W, W)
 
 
+# ---------------------------------------------------------------------------
+# Symmetric Gram: G = S @ S.T at half flops (lower tiles + MXU mirror)
+# ---------------------------------------------------------------------------
+
+def syrk_gram_ref(S: jnp.ndarray) -> jnp.ndarray:
+    """jnp reference / CPU fallback: S·Sᵀ (f32 accumulation for narrow
+    storage, as the downdate kernel)."""
+    acc = jnp.float32 if S.dtype in (jnp.bfloat16, jnp.float16) else S.dtype
+    return jnp.matmul(S, S.T, preferred_element_type=acc)
+
+
+def _gram_kernel(si_idx, sj_idx, ss_ref, pr_idx, pc_idx,
+                 si_ref, sj_ref, o_ref, acc_ref):
+    """Gram analog of _syrk_kernel: out (i,j≤i) = S_i·S_jᵀ on the MXU,
+    mirror (j,i) written from the same accumulator via the exact MXU
+    identity contraction — T(T+1)/2 tile contractions for T² writes."""
+    k = pl.program_id(0)
+    s = ss_ref[k]
+    acc_dt = acc_ref.dtype
+
+    @pl.when(s == 0)
+    def _():
+        acc_ref[:] = jax.lax.dot_general(
+            si_ref[:], sj_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=acc_dt)
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+    @pl.when(s == 1)
+    def _():
+        n = acc_ref.shape[0]
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+               ).astype(acc_dt)
+        o_ref[:] = jax.lax.dot_general(
+            acc_ref[:], eye, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=acc_dt).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def syrk_gram_pallas(S: jnp.ndarray, tile: int = 512,
+                     interpret: bool = False) -> jnp.ndarray:
+    """G = S·Sᵀ computed on lower-triangle tiles only and mirrored —
+    half the MXU flops of the dense Gram, bit-symmetric output.
+
+    This is the dominant cost of the square-root filter's factor
+    recompression (models/srekf_fast.sr_recompress: the D³ Gram ran
+    131 ms at D=20480 as a plain XLA matmul, vs 57-86 ms for the whole
+    blocked Cholesky after it).  Output dtype is the f32/f64
+    accumulation dtype — the consumer is a Cholesky, which wants the
+    full-precision Gram, not a storage-rounded one.
+
+    Requires D % tile == 0 and the rank (S's column count) padded to
+    128 internally."""
+    D = S.shape[0]
+    R = S.shape[1]
+    assert D % tile == 0, "caller guards (syrk_gram dispatch)"
+    Rp = _round_up(R, 128)
+    if Rp != R:
+        S = jnp.zeros((D, Rp), S.dtype).at[:, :R].set(S)
+    T = D // tile
+    acc_dt = (jnp.float64 if S.dtype == jnp.float64 else jnp.float32)
+
+    si, sj, ss, pr, pc = [], [], [], [], []
+    for i in range(T):
+        for j in range(i + 1):
+            si.append(i), sj.append(j), ss.append(0)
+            pr.append(i), pc.append(j)
+            if i != j:
+                si.append(i), sj.append(j), ss.append(1)
+                pr.append(j), pc.append(i)
+    args = [jnp.asarray(a, jnp.int32) for a in (si, sj, ss, pr, pc)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(T * T,),
+        in_specs=[
+            pl.BlockSpec((tile, Rp), lambda k, si_r, *_: (si_r[k], 0)),
+            pl.BlockSpec((tile, Rp), lambda k, si_r, sj_r, *_:
+                         (sj_r[k], 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, tile), lambda k, si_r, sj_r, ss_r, pr_r, pc_r:
+            (pr_r[k], pc_r[k])),
+        scratch_shapes=[pltpu.VMEM((tile, tile), acc_dt)],
+    )
+    return pl.pallas_call(
+        _gram_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((D, D), acc_dt),
+        cost_estimate=pl.CostEstimate(
+            flops=D * (D + tile) * Rp,
+            bytes_accessed=D * D * jnp.dtype(acc_dt).itemsize
+            + T * (T + 1) * tile * Rp * S.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(*args, S, S)
+
+
+def syrk_gram(S: jnp.ndarray, use_pallas: bool = None) -> jnp.ndarray:
+    """S·Sᵀ with automatic backend dispatch and shape guard."""
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    tile = syrk_tile(S.shape[0])
+    if not tile or not use_pallas:
+        return syrk_gram_ref(S)
+    return syrk_gram_pallas(S, tile=tile, interpret=not _on_tpu())
+
+
 def syrk_tile(D: int) -> int:
     """Largest supported tile dividing D (0 if none — caller falls back)."""
     for t in (512, 256, 128):

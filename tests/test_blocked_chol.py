@@ -43,3 +43,21 @@ def test_chol_for_state_masks_inactive():
     np.testing.assert_allclose(np.asarray(L @ L.T), A, rtol=1e-9,
                                atol=1e-9)
     assert float(jnp.abs(L[end:]).max()) == 0.0
+
+
+def test_tri_inv_blocked_matches_trsm():
+    from ekf_slam_tpu.ops.blocked_chol import tri_inv_blocked
+    for d, block in [(64, 512), (300, 64), (1030, 256)]:
+        L = np.asarray(jnp.linalg.cholesky(_spd(d, seed=d)))
+        inv = tri_inv_blocked(jnp.asarray(L), block=block)
+        np.testing.assert_allclose(np.asarray(inv @ L), np.eye(d),
+                                   rtol=1e-9, atol=1e-9)
+        assert float(jnp.abs(jnp.triu(inv, 1)).max()) == 0.0
+
+
+def test_chol_blocked_large_block_recursion():
+    A = _spd(1500, seed=42)
+    L = chol_blocked(A, block=1024)      # recursive 1024-panel
+    Lx = jnp.linalg.cholesky(A)
+    np.testing.assert_allclose(np.asarray(L), np.asarray(Lx),
+                               rtol=1e-10, atol=1e-10)

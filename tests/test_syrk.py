@@ -257,3 +257,25 @@ def test_correction_validation():
     with pytest.raises(ValueError, match="syrk"):
         EKFParams(correction="syrk", update_mode="srekf_fast")
     EKFParams(correction="syrk")                 # valid alone
+
+
+def test_syrk_gram_matches_ref(rng):
+    """Half-flop Gram kernel (lower tiles + MXU mirror): S·Sᵀ exactly,
+    bit-symmetric, rank padded internally."""
+    D, R = 384, 200                      # R not a lane multiple → padded
+    S = jnp.asarray(rng.normal(0, 1, (D, R)), jnp.float64)
+    ref = kernels.syrk_gram_ref(S)
+    out = kernels.syrk_gram_pallas(S, tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+    G = np.asarray(out)
+    assert np.array_equal(G, G.T)
+
+
+def test_syrk_gram_dispatch_guard(rng):
+    """Non-tile-divisible dims fall back to the matmul reference."""
+    S = jnp.asarray(rng.normal(0, 1, (130, 16)), jnp.float64)
+    out = kernels.syrk_gram(S, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(kernels.syrk_gram_ref(S)),
+                               rtol=1e-12, atol=1e-12)
