@@ -113,6 +113,16 @@ class SlamSession:
     #: map only ever grows).  Costs ~one extra P pass per tick; intended
     #: for bounded-capacity long-running sessions.
     maintain_max_trace: float = 0.0
+    #: donate the carry to the per-tick step program so the covariance is
+    #: updated IN PLACE — without it, XLA holds input and output P
+    #: simultaneously, and past ~20k landmarks a second P buffer does not
+    #: fit in HBM (the 32k single-chip ceiling runs 8.3 GB bf16 P on a
+    #: 16 GB chip — chip_r3b stage U).  None = auto: on when P ≥ 2 GB.
+    #: With donation, a carry passed to ``step`` is CONSUMED — keep only
+    #: the returned carry.  ``run()``'s fused lax.scan still
+    #: double-buffers its carry internally; at the capacity ceiling,
+    #: drive the session tick-by-tick via ``step``/io.stream instead.
+    donate_carry: Optional[bool] = None
 
     def __post_init__(self):
         if self.algorithm not in ALGORITHMS:
@@ -137,8 +147,16 @@ class SlamSession:
                 "map maintenance operates on the dense covariance; "
                 "srekf sessions are not supported yet")
         self._init_table, self._extract = EXTRACTORS[self.extractor]
+        if self.donate_carry is None:
+            # auto: in-place stepping once P alone is a 2 GB-class buffer
+            d = self.ekf_params.dim
+            if self.ekf_params.correction == "syrk":
+                d = -(-d // 512) * 512
+            p_bytes = d * d * jnp.dtype(self.ekf_params.cov_dt).itemsize
+            self.donate_carry = p_bytes >= 2 * 1024 ** 3
         step = self._make_step()
-        self._step = jax.jit(step)
+        self._step = (jax.jit(step, donate_argnums=(0,))
+                      if self.donate_carry else jax.jit(step))
 
         def scan_all(carry, odom_poses, ranges, beam_angles):
             def body(c, inp):

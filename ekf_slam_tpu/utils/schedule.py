@@ -38,7 +38,13 @@ def recommended_schedule(capacity: int, batch: Optional[int] = None
     ``capacity``.
 
     ``batch``: override the observation batch size M; chunks then target
-    the measured optimum chunk length (256 small-map / 512 large-map)."""
+    the measured optimum chunk length (256 small-map / 512 large-map).
+
+    The large-map schedule is chip-validated through the capacity
+    ceiling: 15.2k updates/s at 20k landmarks and 5.5k at 32k (8.3 GB
+    bf16 P — the single-buffer regime, where SlamSession's donated step
+    + the aliased SYRK correction are what make it runnable at all;
+    BASELINE.md capacity-ceiling table)."""
     if capacity <= 2000:
         m = batch or 2048
         return {"batch": m, "update_chunks": max(1, m // 256),
