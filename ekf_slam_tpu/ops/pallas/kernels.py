@@ -368,23 +368,37 @@ def syrk_gram_ref(S: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(S, S.T, preferred_element_type=acc)
 
 
-def _gram_kernel(si_idx, sj_idx, ss_ref, pr_idx, pc_idx,
-                 si_ref, sj_ref, o_ref, acc_ref):
-    """Gram analog of _syrk_kernel: out (i,j≤i) = S_i·S_jᵀ on the MXU,
-    mirror (j,i) written from the same accumulator via the exact MXU
-    identity contraction — T(T+1)/2 tile contractions for T² writes."""
+def _gram_kernel(si_idx, sj_idx, kk_idx, ff_idx, ll_idx, mm_idx,
+                 pr_idx, pc_idx, si_ref, sj_ref, o_ref, acc_ref):
+    """Gram analog of _syrk_kernel, with the contraction (k) dimension
+    tiled: a pair (i,j≤i) runs R/ktile accumulate steps (acc is VMEM-
+    resident across them), the last one writes out (i,j), and a mirror
+    step writes (j,i) via the exact MXU identity contraction —
+    T(T+1)/2 tile-pair contractions for T² writes, with only
+    (tile × ktile) operand blocks ever resident (full rows of S at
+    R = D were 40 MB per operand — a VMEM compile OOM at D=20480)."""
     k = pl.program_id(0)
-    s = ss_ref[k]
     acc_dt = acc_ref.dtype
 
-    @pl.when(s == 0)
+    @pl.when(mm_idx[k] == 0)
     def _():
-        acc_ref[:] = jax.lax.dot_general(
+        part = jax.lax.dot_general(
             si_ref[:], sj_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=acc_dt)
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
-    @pl.when(s == 1)
+        @pl.when(ff_idx[k] == 1)
+        def _():
+            acc_ref[:] = part
+
+        @pl.when(ff_idx[k] == 0)
+        def _():
+            acc_ref[:] = acc_ref[:] + part
+
+        @pl.when(ll_idx[k] == 1)
+        def _():
+            o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+    @pl.when(mm_idx[k] == 1)
     def _():
         n = acc_ref.shape[0]
         eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
@@ -395,8 +409,8 @@ def _gram_kernel(si_idx, sj_idx, ss_ref, pr_idx, pc_idx,
             preferred_element_type=acc_dt).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def syrk_gram_pallas(S: jnp.ndarray, tile: int = 512,
+@functools.partial(jax.jit, static_argnames=("tile", "ktile", "interpret"))
+def syrk_gram_pallas(S: jnp.ndarray, tile: int = 512, ktile: int = 1024,
                      interpret: bool = False) -> jnp.ndarray:
     """G = S·Sᵀ computed on lower-triangle tiles only and mirrored —
     half the MXU flops of the dense Gram, bit-symmetric output.
@@ -408,37 +422,48 @@ def syrk_gram_pallas(S: jnp.ndarray, tile: int = 512,
     accumulation dtype — the consumer is a Cholesky, which wants the
     full-precision Gram, not a storage-rounded one.
 
-    Requires D % tile == 0 and the rank (S's column count) padded to
-    128 internally."""
+    Requires D % tile == 0; the contraction dim is zero-padded to the
+    k-tile internally."""
     D = S.shape[0]
     R = S.shape[1]
     assert D % tile == 0, "caller guards (syrk_gram dispatch)"
-    Rp = _round_up(R, 128)
+    ktile = min(ktile, _round_up(R, 128))
+    Rp = _round_up(R, ktile)
     if Rp != R:
         S = jnp.zeros((D, Rp), S.dtype).at[:, :R].set(S)
     T = D // tile
+    TK = Rp // ktile
     acc_dt = (jnp.float64 if S.dtype == jnp.float64 else jnp.float32)
 
-    si, sj, ss, pr, pc = [], [], [], [], []
+    si, sj, kk, ff, ll, mm, pr, pc = ([] for _ in range(8))
     for i in range(T):
         for j in range(i + 1):
-            si.append(i), sj.append(j), ss.append(0)
-            pr.append(i), pc.append(j)
+            for kb in range(TK):
+                si.append(i), sj.append(j), kk.append(kb)
+                ff.append(1 if kb == 0 else 0)
+                ll.append(1 if kb == TK - 1 else 0)
+                mm.append(0)
+                pr.append(i), pc.append(j)
             if i != j:
-                si.append(i), sj.append(j), ss.append(1)
+                si.append(i), sj.append(j), kk.append(TK - 1)
+                ff.append(0), ll.append(0), mm.append(1)
                 pr.append(j), pc.append(i)
-    args = [jnp.asarray(a, jnp.int32) for a in (si, sj, ss, pr, pc)]
+    args = [jnp.asarray(a, jnp.int32)
+            for a in (si, sj, kk, ff, ll, mm, pr, pc)]
+    n_steps = len(si)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(T * T,),
+        num_scalar_prefetch=8,
+        grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((tile, Rp), lambda k, si_r, *_: (si_r[k], 0)),
-            pl.BlockSpec((tile, Rp), lambda k, si_r, sj_r, *_:
-                         (sj_r[k], 0)),
+            pl.BlockSpec((tile, ktile),
+                         lambda k, si_r, sj_r, kk_r, *_: (si_r[k], kk_r[k])),
+            pl.BlockSpec((tile, ktile),
+                         lambda k, si_r, sj_r, kk_r, *_: (sj_r[k], kk_r[k])),
         ],
         out_specs=pl.BlockSpec(
-            (tile, tile), lambda k, si_r, sj_r, ss_r, pr_r, pc_r:
+            (tile, tile),
+            lambda k, si_r, sj_r, kk_r, ff_r, ll_r, mm_r, pr_r, pc_r:
             (pr_r[k], pc_r[k])),
         scratch_shapes=[pltpu.VMEM((tile, tile), acc_dt)],
     )

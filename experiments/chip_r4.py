@@ -195,7 +195,10 @@ def stage_g(D=20480, R=None, n_it=8):
         def run(S, scales):
             def body(c, sc):
                 G = gram(S * sc)
-                return c + G[0, 0], None
+                # consume the WHOLE Gram: a single-element consumer lets
+                # XLA DCE everything but one row-dot (first measurement
+                # read 4400 "TFLOPS")
+                return c + jnp.sum(G), None
             return jax.lax.scan(body, jnp.float32(0), scales)[0]
         try:
             dt = _time(run, S, scales) / n_it

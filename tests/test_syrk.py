@@ -279,3 +279,16 @@ def test_syrk_gram_dispatch_guard(rng):
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(kernels.syrk_gram_ref(S)),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_syrk_gram_k_tiled_accumulation(rng):
+    """ktile < R forces multi-step accumulation per pair (the VMEM-safe
+    schedule the chip needs at R = D): still exact."""
+    D, R = 256, 700
+    S = jnp.asarray(rng.normal(0, 1, (D, R)), jnp.float64)
+    ref = kernels.syrk_gram_ref(S)
+    out = kernels.syrk_gram_pallas(S, tile=128, ktile=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+    G = np.asarray(out)
+    assert np.array_equal(G, G.T)
