@@ -64,3 +64,13 @@ def test_occupancy_mapping_example(capsys):
     run_example("occupancy_mapping.py", ["--ticks", "40"])
     out = capsys.readouterr().out
     assert "occupied=" in out and "free=" in out
+
+
+def test_socket_slam_example(capsys):
+    import pytest
+    with pytest.raises(SystemExit) as e:
+        run_example("socket_slam.py",
+                    ["--ticks", "30", "--port", "47397"])
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    assert "tick-exact vs offline run: PASS" in out
