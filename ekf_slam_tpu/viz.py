@@ -126,3 +126,63 @@ def save_frame(path: str, *args, **kwargs):
     ax.figure.savefig(path, dpi=110, bbox_inches="tight")
     plt.close(ax.figure)
     return path
+
+
+class LiveView:
+    """Per-tick live display — the reference's plot loop (EKF_SLAM.m:
+    154-234 redrawn from SLAM.runSlam every tick, SLAM.m:131-139).
+
+    On an interactive matplotlib backend the window updates in place
+    (``plt.ion`` + draw/pause); on headless backends (Agg — this repo's
+    default) the same loop can record an animated GIF instead
+    (``gif_path``), so the live view exists everywhere the engine runs.
+
+        view = viz.LiveView(gif_path="run.gif")
+        for t in range(T):
+            carry, out = sess.step(carry, odom[t], ranges[t], beams)
+            view.update(carry.filt, table=carry.table, obs=out.obs)
+        view.close()
+    """
+
+    def __init__(self, limits=(-5.0, 5.0, -4.0, 4.0), pause: float = 0.001,
+                 gif_path=None, fps: int = 10, figsize=(7, 6), dpi: int = 80):
+        plt = _plt()
+        import matplotlib
+        self._plt = plt
+        self.limits = limits
+        self.pause = pause
+        self.fig, self.ax = plt.subplots(figsize=figsize, dpi=dpi)
+        self.interactive = matplotlib.get_backend().lower() not in (
+            "agg", "pdf", "svg", "ps", "cairo", "template")
+        if self.interactive:
+            plt.ion()
+            self.fig.show()
+        self._writer = None
+        if gif_path is not None:
+            from matplotlib.animation import PillowWriter
+            self._writer = PillowWriter(fps=fps)
+            self._writer.setup(self.fig, gif_path, dpi=dpi)
+        self.frames = 0
+
+    def update(self, state: FilterState, table=None, obs=None,
+               scan_world=None, truth=None) -> None:
+        """Redraw one tick (clears and repaints, like the reference's
+        cla/plot cycle)."""
+        self.ax.clear()
+        plot_state(state, table=table, obs=obs, scan_world=scan_world,
+                   truth=truth, ax=self.ax, limits=self.limits)
+        self.ax.set_title(f"tick {self.frames}  "
+                          f"landmarks {int(state.n_active)}")
+        if self._writer is not None:
+            self._writer.grab_frame()
+        if self.interactive:
+            self.fig.canvas.draw_idle()
+            self._plt.pause(self.pause)
+        self.frames += 1
+
+    def close(self):
+        """Finish the GIF (if recording) and release the figure."""
+        if self._writer is not None:
+            self._writer.finish()
+            self._writer = None
+        self._plt.close(self.fig)

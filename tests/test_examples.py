@@ -74,3 +74,16 @@ def test_socket_slam_example(capsys):
     assert e.value.code == 0
     out = capsys.readouterr().out
     assert "tick-exact vs offline run: PASS" in out
+
+
+def test_live_view_example(tmp_path, capsys):
+    import pytest
+    gif = str(tmp_path / "live.gif")
+    with pytest.raises(SystemExit) as e:
+        run_example("live_view.py",
+                    ["--ticks", "12", "--gif", gif, "--every", "3"])
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    assert "live view: 4 frames" in out
+    import os
+    assert os.path.getsize(gif) > 1000       # a real multi-frame GIF
