@@ -190,6 +190,25 @@ def analyze_update_batch(n_dev: int, K: int, M: int):
                         "total": int(sum(b1.values()))}
     out["gspmd"] = {"bytes": b2, "counts": c2,
                     "total": int(sum(b2.values()))}
+
+    # round 4: the sharded square-root (Andrews) update — psum-only
+    from ekf_slam_tpu.models.srekf import factor_from_state
+    from ekf_slam_tpu.parallel.shard_update import sr_update_sharded
+    p_sr = dataclasses.replace(params, update_mode="srekf_fast",
+                               masked_writes=False, sr_noise_buffer=8)
+    st_sr = init_state(p_sr, pad_to_multiple_of=8 * n_dev,
+                       extra_dims=p_sr.sr_noise_buffer)
+    st_sr = st_sr._replace(
+        x=jnp.zeros((st_sr.dim,), jnp.float32).at[:D].set(st.x),
+        sig=st.sig, active=st.active, n_active=st.n_active)
+    st_sr = factor_from_state(st_sr)
+    st_sr = st_sr._replace(P=jax.device_put(
+        st_sr.P, NamedSharding(mesh, P("map", None))))
+    f4 = jax.jit(lambda s: sr_update_sharded(s, zs, slots, Rs, valid,
+                                             p_sr, mesh))
+    b4, c4 = collective_bytes(f4.lower(st_sr).compile().as_text())
+    out["shard_map_sr"] = {"bytes": b4, "counts": c4,
+                           "total": int(sum(b4.values()))}
     return out
 
 
