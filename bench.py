@@ -51,7 +51,8 @@ to one config; BENCH_BATCH / BENCH_CHUNKS / BENCH_COV_DTYPE=bf16|f32 /
 BENCH_CORR=gemm|syrk tune it (default: the measured schedule, bf16 P at
 10k); BENCH_FRAMES=0 / BENCH_STREAM=0 / BENCH_SEQ=1 toggle the frames,
 streaming and sequential runs; BENCH_REPS=N sets the rep count;
-BENCH_AB=0 skips the 10k correction A/B.
+BENCH_AB=0 skips the 10k correction A/B; BENCH_SR=0 skips the 10k
+square-root rows (srekf_fast + strict-triangular panel).
 """
 from __future__ import annotations
 
@@ -275,6 +276,55 @@ def batched_updates_per_sec(K: int):
     return ups, spread, ab
 
 
+def srekf_updates_per_sec(K: int) -> dict:
+    """Square-root filter throughput at K landmarks (BENCH_SR=0 skips):
+    the general-factor srekf_fast chain and the strict-TRIANGULAR panel
+    chain (per-batch re-triangularization) — gate from factor strips +
+    chunked Andrews update, the chip_r4 stage-P configuration."""
+    import dataclasses
+
+    from ekf_slam_tpu.models.srekf import factor_from_state, sr_strips
+    from ekf_slam_tpu.models.srekf_fast import (sr_update_chunked,
+                                                sr_update_panel)
+    from ekf_slam_tpu.ops.association import gate_batch
+
+    batch, chunks = 4096, 8
+    params0 = dataclasses.replace(
+        _params(K, chunks), update_mode="srekf_fast")
+    base = make_full_state(params0, K)
+    # noise-buffer columns + pad to the SYRK tile so the recompression's
+    # half-flop Gram kernel engages
+    D = base.dim
+    Dt = -(-(D + 64) // 512) * 512
+    state = factor_from_state(base._replace(
+        x=jnp.zeros((Dt,), base.x.dtype).at[:D].set(base.x),
+        P=jnp.zeros((Dt, Dt), base.P.dtype).at[:D, :D].set(base.P)))
+    rc0, rc1 = params0.rc
+    out = {}
+    for key, upd, n_batches in (
+            ("updates_per_sec_srekf_fast", sr_update_chunked, 4),
+            ("updates_per_sec_sr_triangular", sr_update_panel, 2)):
+        zs_all = jnp.asarray(
+            make_measurements(state, K, n_batches * batch).reshape(
+                n_batches, batch, 3), params0.dtype)
+
+        def one_batch(st, zs):
+            Rs = jax.vmap(lambda z: jnp.diag(
+                jnp.stack([z[0] * rc0, z[1] * rc1])))(zs).astype(
+                    params0.dtype)
+            strips = sr_strips(st.P, K, triangular=False)
+            is_new, slots = gate_batch(st, zs, Rs, params0, strips=strips)
+            return upd(st, zs, slots, Rs, ~is_new, params0), None
+
+        run = jax.jit(lambda st, zb: jax.lax.scan(one_batch, st, zb)[0])
+        ts = _time_reps(run, state, zs_all, n=3)
+        out[key] = round(n_batches * batch / float(np.median(ts)), 1)
+        print(f"[bench] {key} (M={batch}, G={chunks}): {out[key]} "
+              f"updates/s @ {K} landmarks (spread "
+              f"{_spread_pct(ts):.1f}%)", file=sys.stderr)
+    return out
+
+
 def oracle_10k_measured() -> float:
     """Measured 10k oracle throughput from the one-time offline artifact
     (experiments/oracle_10k.py — a real update at K=10k costs ~2e13 f64
@@ -436,6 +486,10 @@ def main():
         extra["spread_pct_10k"] = round(spread_10k, 1)
         if ab_10k is not None:
             extra["corr_ab_10k"] = ab_10k
+        if os.environ.get("BENCH_SR", "1") == "1":
+            # the square-root options at the north-star scale (VERDICT
+            # r3 item 1: chip-measured rows in the artifact of record)
+            extra.update(srekf_updates_per_sec(10000))
         scale = ((10000 * 20003 ** 2 + 20003 ** 3)
                  / (1000 * 2003 ** 2 + 2003 ** 3))
         extrap = orc_1k / scale

@@ -99,7 +99,7 @@ def chol_blocked(A: jnp.ndarray, block: int = 512) -> jnp.ndarray:
     return L
 
 
-def chol_for_state(P: jnp.ndarray, n_active, block: int = 512
+def chol_for_state(P: jnp.ndarray, n_active, block: int = 1024
                    ) -> jnp.ndarray:
     """Cholesky of a filter covariance whose rows/cols beyond the active
     block (3+2·n_active) are zero: augment the inactive diagonal with 1

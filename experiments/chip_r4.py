@@ -209,6 +209,32 @@ def stage_g(D=20480, R=None, n_it=8):
             log({"stage": "G", "impl": name, "error": repr(e)[:300]})
 
 
+def stage_w(D=20480, R=1024, n_it=16):
+    """Isolated w_resident SYRK A/B at the promoted chunk rank (bf16):
+    whole-W pinned in VMEM vs per-step W-tile DMA."""
+    from ekf_slam_tpu.ops.pallas.kernels import syrk_downdate_pallas
+    rng = np.random.default_rng(2)
+    P = jnp.asarray((0.05 * np.eye(D)).astype(np.float32),
+                    jnp.bfloat16)
+    W = jnp.asarray(rng.normal(size=(D, R)).astype(np.float32) * 0.01,
+                    jnp.bfloat16)
+    scales = jnp.linspace(1.0, 1.0 + 1e-3, n_it, dtype=jnp.bfloat16)
+    for name, wres in (("blocked", False), ("w_resident", True)):
+        @jax.jit
+        def run(P, W, scales):
+            def body(c, sc):
+                out = syrk_downdate_pallas(P, W * sc, tile=512,
+                                           w_resident=wres)
+                return c + out[0, 0].astype(jnp.float32), None
+            return jax.lax.scan(body, jnp.float32(0), scales)[0]
+        try:
+            dt = _time(run, P, W, scales) / n_it
+            log({"stage": "W", "impl": name, "D": D, "R": R,
+                 "ms_per_downdate": round(dt * 1e3, 2)})
+        except Exception as e:
+            log({"stage": "W", "impl": name, "error": repr(e)[:300]})
+
+
 if __name__ == "__main__":
     import sys
     stages = sys.argv[1] if len(sys.argv) > 1 else "CRP"
@@ -220,3 +246,5 @@ if __name__ == "__main__":
         stage_r()
     if "P" in stages:
         stage_p()
+    if "W" in stages:
+        stage_w()

@@ -185,17 +185,19 @@ def test_sharded_batched_mode_composes():
                                rtol=1e-8, atol=1e-10)
 
 
-@pytest.mark.parametrize("bad", [
-    dict(update_mode="srekf"),
-    dict(update_mode="srekf_fast"),
-])
-def test_sharded_rejects_square_root_modes(bad):
-    """The sharded session row-shards the dense covariance; square-root
-    modes must be rejected at construction, not silently run something
-    else (round-2 verdict: no silently-ignored flags across sessions)."""
-    with pytest.raises(NotImplementedError, match="square-root"):
+def test_sharded_rejects_unsupported_square_root_configs():
+    """Round-4 state: the triangular QR srekf is still rejected (its
+    pre-array QR is not row-shardable), with a pointer to the supported
+    path; srekf_fast is rejected only under gspmd — the shard_map route
+    runs it (test_sharded_srekf_fast_session_matches_unsharded)."""
+    with pytest.raises(NotImplementedError, match="srekf_fast"):
         ShardedSlamSession(mesh=make_mesh(),
-                           ekf_params=EKFParams(capacity=16, **bad))
+                           ekf_params=EKFParams(capacity=16,
+                                                update_mode="srekf"))
+    with pytest.raises(NotImplementedError, match="shard_map"):
+        ShardedSlamSession(mesh=make_mesh(), update_path="gspmd",
+                           ekf_params=EKFParams(capacity=16,
+                                                update_mode="srekf_fast"))
 
 
 def test_shard_map_rejects_incompatible_flags():
@@ -262,13 +264,3 @@ def test_sharded_srekf_fast_session_matches_unsharded():
                                np.asarray(o_ref.pose), atol=1e-8)
 
 
-def test_sharded_rejects_unsupported_sr_configs():
-    import pytest
-    ep_qr = EKFParams(capacity=16, ref_compat=False, update_mode="srekf")
-    with pytest.raises(NotImplementedError):
-        ShardedSlamSession(mesh=make_mesh(), ekf_params=ep_qr)
-    ep_fast = EKFParams(capacity=16, ref_compat=False,
-                        update_mode="srekf_fast")
-    with pytest.raises(NotImplementedError):
-        ShardedSlamSession(mesh=make_mesh(), ekf_params=ep_fast,
-                           update_path="gspmd")
