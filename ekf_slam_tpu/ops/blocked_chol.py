@@ -107,7 +107,10 @@ def chol_for_state(P: jnp.ndarray, n_active, block: int = 1024
     rows back out — the same construction as srekf.factor_from_state,
     with the blocked kernel."""
     D = P.shape[0]
-    act = jnp.arange(D) < 3 + 2 * n_active
+    rng = jnp.arange(D)
+    act = rng < 3 + 2 * n_active
     aug = jnp.where(act, jnp.zeros((D,), P.dtype), jnp.ones((D,), P.dtype))
-    L = chol_blocked(P + jnp.diag(aug), block=block)
+    # O(D) diagonal scatter — adding jnp.diag(aug) would stream the full
+    # D² matrix twice just to touch D elements (~20 ms at D=20k)
+    L = chol_blocked(P.at[rng, rng].add(aug), block=block)
     return L * act[:, None].astype(P.dtype)
