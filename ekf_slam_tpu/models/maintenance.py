@@ -77,7 +77,57 @@ def evict_landmarks(state: FilterState, drop: jnp.ndarray,
                        n_active=n_kept)
 
 
-def duplicate_mask(state: FilterState, radius: float) -> jnp.ndarray:
+def evict_landmarks_factored(state: FilterState, drop: jnp.ndarray,
+                             params: EKFParams) -> FilterState:
+    """``evict_landmarks`` for a square-root state (P field holds a
+    factor S with P = S·Sᵀ — models/srekf.py, models/srekf_fast.py).
+
+    Marginalization is even more natural on the factor: a submatrix of
+    P is exactly the Gram of the corresponding ROW subset of S, so
+    eviction permutes S's rows only (columns are an internal basis and
+    never move).  The permuted factor is then recompressed
+    (srekf_fast.sr_recompress): a lower-triangular S has entries in an
+    evicted slot's columns from every later slot's rows, so the freed
+    columns are NOT zero — recompression restores the
+    fresh-slot-columns-are-zero invariant that the O(D) sr_append
+    depends on, and returns a clean triangular factor (valid for both
+    the srekf and srekf_fast modes)."""
+    from .srekf_fast import sr_recompress
+
+    K = state.capacity
+    D = state.x.shape[0]
+    drop = drop & (jnp.arange(K) < state.n_active)
+    perm = _slot_permutation(drop, state.n_active)
+    n_kept = (state.n_active - jnp.sum(drop)).astype(state.n_active.dtype)
+    new_slots = jnp.arange(K)
+    keep_new = new_slots < n_kept
+
+    rowperm = jnp.arange(D)
+    lmrows = 3 + 2 * perm
+    rowperm = rowperm.at[3 + 2 * new_slots].set(lmrows)
+    rowperm = rowperm.at[4 + 2 * new_slots].set(lmrows + 1)
+
+    rows_kept = jnp.arange(D) < 3 + 2 * n_kept
+    x = jnp.where(rows_kept, state.x[rowperm], 0.0).astype(state.x.dtype)
+    S = jnp.where(rows_kept[:, None], state.P[rowperm],
+                  0.0).astype(state.P.dtype)
+    sig = jnp.where(keep_new, state.sig[perm], 0.0).astype(state.sig.dtype)
+    st = FilterState(x=x, P=S, sig=sig, active=keep_new, n_active=n_kept)
+    return sr_recompress(st)
+
+
+def _slot_traces(state: FilterState, factored: bool) -> jnp.ndarray:
+    """Per-slot 2×2 covariance traces [K] — from P's diagonal, or from
+    the factor's row norms (diag(S·Sᵀ) = ‖S row‖²)."""
+    K = state.capacity
+    end = 3 + 2 * K
+    diag = (jnp.sum(state.P * state.P, axis=1) if factored
+            else jnp.diagonal(state.P))
+    return diag[3:end:2] + diag[4:end:2]
+
+
+def duplicate_mask(state: FilterState, radius: float,
+                   factored: bool = False) -> jnp.ndarray:
     """Mark the worse of every active landmark pair closer than ``radius``.
 
     "Worse" = larger covariance trace (the later/noisier duplicate); among
@@ -94,9 +144,7 @@ def duplicate_mask(state: FilterState, radius: float) -> jnp.ndarray:
     close = (d2 < radius * radius) & act[:, None] & act[None, :]
     close = close & ~jnp.eye(K, dtype=bool)
 
-    end = 3 + 2 * K
-    diag = jnp.diagonal(state.P)
-    tr = diag[3:end:2] + diag[4:end:2]                          # [K]
+    tr = _slot_traces(state, factored)                          # [K]
     # drop k iff some close j is strictly better, or equal with lower slot
     better = (tr[None, :] < tr[:, None]) | (
         (tr[None, :] == tr[:, None])
@@ -104,27 +152,26 @@ def duplicate_mask(state: FilterState, radius: float) -> jnp.ndarray:
     return jnp.any(close & better, axis=1)
 
 
-def prune_by_uncertainty(state: FilterState, max_trace: float
-                         ) -> jnp.ndarray:
+def prune_by_uncertainty(state: FilterState, max_trace: float,
+                         factored: bool = False) -> jnp.ndarray:
     """Mark active landmarks whose 2×2 covariance trace exceeds
     ``max_trace`` (never converged / spurious).  Returns bool[K]."""
-    K = state.capacity
-    end = 3 + 2 * K
-    diag = jnp.diagonal(state.P)
-    tr = diag[3:end:2] + diag[4:end:2]
-    return state.active & (tr > max_trace)
+    return state.active & (_slot_traces(state, factored) > max_trace)
 
 
 def maintain(state: FilterState, params: EKFParams,
-             merge_radius: float = 0.0, max_trace: float = 0.0
-             ) -> Tuple[FilterState, jnp.ndarray]:
+             merge_radius: float = 0.0, max_trace: float = 0.0,
+             factored: bool = False) -> Tuple[FilterState, jnp.ndarray]:
     """One maintenance pass: merge duplicates within ``merge_radius`` and
     prune landmarks above ``max_trace`` (0 disables either).  Returns
-    (state, n_evicted)."""
+    (state, n_evicted).  ``factored=True``: the state carries a
+    square-root factor (srekf / srekf_fast) — masks read the factor's
+    row norms and eviction goes through the factor-space path."""
     drop = jnp.zeros((state.capacity,), bool)
     if merge_radius > 0:
-        drop = drop | duplicate_mask(state, merge_radius)
+        drop = drop | duplicate_mask(state, merge_radius, factored)
     if max_trace > 0:
-        drop = drop | prune_by_uncertainty(state, max_trace)
+        drop = drop | prune_by_uncertainty(state, max_trace, factored)
     n = jnp.sum(drop).astype(jnp.int32)
-    return evict_landmarks(state, drop, params), n
+    evict = evict_landmarks_factored if factored else evict_landmarks
+    return evict(state, drop, params), n

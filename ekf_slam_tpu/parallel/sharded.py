@@ -68,6 +68,14 @@ class ShardedSlamSession:
     #:                 by-collective and separately benchmarkable.
     #: Both are bit-compared in tests and by experiments/scaling_harness.py.
     update_path: str = "gspmd"
+    #: map lifecycle (models/maintenance.py) after each tick's
+    #: measurement phase, as in SlamSession.  NOTE the distributed cost:
+    #: eviction permutes P's rows AND columns — under a row-sharded P
+    #: the column gather is an all-to-all-class data movement
+    #: (O(D²/n)/device), so treat maintenance as an occasional op, not a
+    #: per-tick default, at large D.
+    maintain_merge_radius: float = 0.0
+    maintain_max_trace: float = 0.0
 
     def __post_init__(self):
         if self.ekf_params is None:
@@ -172,6 +180,15 @@ class ShardedSlamSession:
                 filt, _ = guarded(
                     pre_measure, filt, ep.guard_max_jump,
                     factored=ep.update_mode == "srekf_fast")
+            if (self.maintain_merge_radius > 0
+                    or self.maintain_max_trace > 0):
+                from ..models.maintenance import maintain
+                filt, _ = maintain(
+                    filt, ep,
+                    merge_radius=self.maintain_merge_radius,
+                    max_trace=self.maintain_max_trace,
+                    factored=ep.update_mode == "srekf_fast")
+                filt = _constrain(filt, mesh)
             if ep.update_mode == "srekf_fast":
                 # periodic factor recompression (GSPMD-placed Gram +
                 # blocked Cholesky — a distributed GEMM; amortized over

@@ -141,11 +141,6 @@ class SlamSession:
             self.ekf_params = ALGORITHMS[self.algorithm]()
         if self.ransac_params is None:
             self.ransac_params = RansacParams(dtype=self.ekf_params.dtype)
-        if ((self.maintain_merge_radius > 0 or self.maintain_max_trace > 0)
-                and self.ekf_params.update_mode in ("srekf", "srekf_fast")):
-            raise NotImplementedError(
-                "map maintenance operates on the dense covariance; "
-                "srekf sessions are not supported yet")
         self._init_table, self._extract = EXTRACTORS[self.extractor]
         if self.donate_carry is None:
             # auto: in-place stepping once P alone is a 2 GB-class buffer
@@ -306,11 +301,14 @@ class SlamSession:
                     factored=ep.update_mode in ("srekf", "srekf_fast"))
             if (self.maintain_merge_radius > 0
                     or self.maintain_max_trace > 0):
-                # srekf rejected at construction (__post_init__)
+                # factored states route through the factor-space evict
+                # (row permutation + recompress — maintenance.py)
                 from .models.maintenance import maintain
-                filt, _ = maintain(filt, ep,
-                                   merge_radius=self.maintain_merge_radius,
-                                   max_trace=self.maintain_max_trace)
+                filt, _ = maintain(
+                    filt, ep,
+                    merge_radius=self.maintain_merge_radius,
+                    max_trace=self.maintain_max_trace,
+                    factored=ep.update_mode in ("srekf", "srekf_fast"))
 
             sr_tick = carry.sr_tick
             if ep.update_mode == "srekf_fast":

@@ -98,16 +98,54 @@ def test_session_with_maintenance_tracks_and_bounds_map():
     assert act[:n].all() and not act[n:].any()
 
 
-def test_session_maintenance_rejects_srekf():
-    """Maintenance permutes the dense covariance; the factored state is
-    explicitly unsupported (clear error, not silent corruption)."""
-    import pytest
+def test_factored_evict_matches_dense():
+    """Round 4: maintenance on a square-root state — eviction permutes
+    the factor's ROWS (a P submatrix is the Gram of S's row subset) and
+    recompresses; the result must equal the dense eviction exactly, with
+    a clean triangular factor and zeroed freed columns."""
+    from ekf_slam_tpu.models import srekf
+    state, _ = make_pair(5, seed=31)
+    drop = jnp.zeros(8, bool).at[2].set(True)
+    dense = M.evict_landmarks(state, drop, PARAMS)
+
+    sr = srekf.factor_from_state(state)
+    out = M.evict_landmarks_factored(sr, drop, PARAMS)
+    assert int(out.n_active) == 4
+    S = np.asarray(out.P)
+    assert np.allclose(S, np.tril(S))                 # triangular again
+    d = 3 + 2 * 4
+    np.testing.assert_allclose((S @ S.T)[:d, :d],
+                               np.asarray(dense.P)[:d, :d],
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(dense.x),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_array_equal(np.asarray(out.sig),
+                                  np.asarray(dense.sig))
+    assert np.all(S[d:, :] == 0) and np.all(S[:, d:] == 0)
+
+
+def test_session_maintenance_on_srekf_fast():
+    """A square-root session with maintenance enabled: capacity stays
+    bounded, factor invariants hold, the run is finite."""
     from ekf_slam_tpu.session import SlamSession
-    with pytest.raises(NotImplementedError, match="maintenance"):
-        sess = SlamSession(
-            ekf_params=EKFParams(capacity=8, max_obs=4, ref_compat=False,
-                                 update_mode="srekf", dtype=jnp.float64),
-            maintain_max_trace=10.0)
+    from test_sim_session import SIM_RANSAC, make_traj
+
+    traj, _ = make_traj(T=40)
+    sess = SlamSession(
+        ekf_params=EKFParams(capacity=16, max_obs=8, ref_compat=False,
+                             update_mode="srekf_fast", sr_noise_buffer=8,
+                             dtype=jnp.float64),
+        ransac_params=SIM_RANSAC, seed=1, maintain_max_trace=25.0)
+    carry, outs = sess.run(traj.odom, traj.ranges, traj.beam_angles)
+    n = int(carry.filt.n_active)
+    assert n >= 1
+    act = np.asarray(carry.filt.active)
+    assert act[:n].all() and not act[n:].any()
+    S = np.asarray(carry.filt.P)
+    assert np.all(np.isfinite(S))
+    P = S @ S.T
+    d = 3 + 2 * n
+    assert np.all(np.diag(P)[:d] > 0)
 
 
 def test_evict_nothing_is_identity():

@@ -264,3 +264,26 @@ def test_sharded_srekf_fast_session_matches_unsharded():
                                np.asarray(o_ref.pose), atol=1e-8)
 
 
+
+
+def test_sharded_session_maintenance():
+    """Maintenance on the sharded session (round 4): eviction + compaction
+    under a row-sharded P matches the unsharded maintained session."""
+    traj, _ = make_traj(T=30)
+    kw = dict(ekf_params=EKFParams(capacity=16, max_obs=8,
+                                   ref_compat=False, dtype=jnp.float64),
+              ransac_params=SIM_RANSAC, seed=5)
+    ref = SlamSession(maintain_max_trace=25.0, **kw)
+    c_ref, o_ref = ref.run(traj.odom, traj.ranges, traj.beam_angles)
+
+    sh = ShardedSlamSession(mesh=make_mesh(), maintain_max_trace=25.0,
+                            **kw)
+    c_sh, o_sh = sh.run(traj.odom, traj.ranges, traj.beam_angles)
+
+    assert int(c_ref.filt.n_active) == int(c_sh.filt.n_active) >= 1
+    d = 3 + 2 * int(c_ref.filt.n_active)
+    np.testing.assert_allclose(np.asarray(c_sh.filt.P[:d, :d]),
+                               np.asarray(c_ref.filt.P[:d, :d]),
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(o_sh.pose),
+                               np.asarray(o_ref.pose), atol=1e-9)
