@@ -46,7 +46,10 @@ def recommended_schedule(capacity: int, batch: Optional[int] = None
     + the aliased SYRK correction are what make it runnable at all;
     BASELINE.md capacity-ceiling table)."""
     if capacity <= 2000:
-        m = batch or 2048
+        # round-4 promotion: M=4096 chunk-256 measured 838.1k vs
+        # M=2048's 799.5k at 1k (clean same-invocation medians, spreads
+        # 0.2%/0.6% — r1's 822k hint confirmed against error bars)
+        m = batch or 4096
         return {"batch": m, "update_chunks": max(1, m // 256),
                 "pht_mode": "dense", "cov_dtype": None,
                 "correction": "gemm"}
