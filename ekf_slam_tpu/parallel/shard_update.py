@@ -36,11 +36,13 @@ from ..state import FilterState
 def build_dense_ht(state: FilterState, zs, slots, Rs, valid,
                    params: EKFParams):
     """Replicated observation-model pieces: dense Ht [D,2M], stacked
-    innovation nu [2M], block-diag R [2M,2M] (identity in masked slots)."""
+    innovation nu [2M], block-diag R [2M,2M] (identity in masked slots).
+    Built in the COMPUTE dtype (state.x) — bf16 covariance storage keeps
+    the small algebra f32, like models/batched.update_batch."""
     x = state.x
     D = x.shape[0]
     M = zs.shape[0]
-    dt = state.P.dtype
+    dt = x.dtype
 
     zhat, A, B = _innovation_blocks(x, slots, params)
     vmask = valid.astype(dt)
@@ -151,8 +153,19 @@ def sharded_update_batch(state: FilterState, zs, slots, Rs, valid,
     D = state.x.shape[0]
     n_dev = mesh.shape[axis]
     rows_per = D // n_dev
-    dt = state.P.dtype
+    dt = state.P.dtype                 # covariance storage dtype
+    ct = state.x.dtype                 # compute dtype (f32/f64)
+    fast16 = dt == jnp.bfloat16
     syrk = params.correction == "syrk"
+
+    def mm(a, b):
+        """Large GEMM in the storage precision, accumulated in ct —
+        models/batched.update_batch's mixed-precision policy."""
+        if fast16:
+            return jnp.matmul(a.astype(jnp.bfloat16),
+                              b.astype(jnp.bfloat16),
+                              preferred_element_type=ct)
+        return a @ b
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(axis, None), P(), P(), P()),
@@ -162,28 +175,30 @@ def sharded_update_batch(state: FilterState, zs, slots, Rs, valid,
         r0 = jnp.asarray(d * rows_per, jnp.int32)
         zero = jnp.zeros((), jnp.int32)
 
-        PHt_local = P_local @ Ht                             # [rows,2M]
+        PHt_local = mm(P_local, Ht)                          # [rows,2M] ct
         # Schur combine: each device contributes its row block
         Ht_rows = jax.lax.dynamic_slice(
             Ht, (r0, zero), (rows_per, Ht.shape[1]))         # [rows,2M]
-        S = jax.lax.psum(Ht_rows.T @ PHt_local, axis)        # [2M,2M]
+        S = jax.lax.psum(Ht_rows.T @ PHt_local, axis)        # [2M,2M] ct
         S = S + Rblk
 
         if syrk:
             # Kg·(H·P) = W·Wᵀ with W = PHᵀ·L⁻ᵀ (S = L·Lᵀ): same algebra
             # as the single-chip syrk path (models/batched.update_batch)
             L = jnp.linalg.cholesky(S)
-            eye = jnp.eye(S.shape[0], dtype=S.dtype)
+            eye = jnp.eye(S.shape[0], dtype=ct)
             Linv = jax.lax.linalg.triangular_solve(
                 L, eye, left_side=True, lower=True)
-            W_local = PHt_local @ Linv.T                     # [rows,2M]
+            W_local = PHt_local @ Linv.T                     # [rows,2M] ct
             dx_local = W_local @ (Linv @ nu)                 # [rows]
-            dx = jnp.zeros((D,), dt)
+            dx = jnp.zeros((D,), ct)
             dx = jax.lax.dynamic_update_slice(dx, dx_local, (r0,))
             dx = jax.lax.psum(dx, axis)
-            # one all_gather of W (replaces the gemm form's PHt gather —
-            # identical O(D·M) byte volume), then the mirror exchange
-            W_full = jax.lax.all_gather(W_local, axis, tiled=True)
+            # one all_gather of W in the STORAGE dtype (bf16 halves the
+            # O(D·M) bytes AND matches the single-chip kernel's W
+            # quantization), then the mirror exchange accumulates in ct
+            W_full = jax.lax.all_gather(W_local.astype(dt), axis,
+                                        tiled=True)
             P_local = systolic_syrk_downdate(P_local, W_full, axis,
                                              n_dev)
             return P_local, dx
@@ -193,13 +208,16 @@ def sharded_update_batch(state: FilterState, zs, slots, Rs, valid,
 
         # state correction: scatter local row contributions into [D]
         dx_local = Kg_local @ nu                             # [rows]
-        dx = jnp.zeros((D,), dt)
+        dx = jnp.zeros((D,), ct)
         dx = jax.lax.dynamic_update_slice(dx, dx_local, (r0,))
         dx = jax.lax.psum(dx, axis)                          # [D] replicated
 
         # covariance correction needs PHtᵀ for ALL rows: one all_gather
-        PHt_full = jax.lax.all_gather(PHt_local, axis, tiled=True)  # [D,2M]
-        P_local = P_local - Kg_local @ PHt_full.T
+        # (storage dtype — halves the volume-bearing collective at bf16)
+        PHt_full = jax.lax.all_gather(PHt_local.astype(dt), axis,
+                                      tiled=True)            # [D,2M]
+        P_local = (P_local.astype(ct)
+                   - mm(Kg_local, PHt_full.T)).astype(dt)
         return P_local, dx
 
     P_new, dx = upd(state.P, Ht, nu, Rblk)

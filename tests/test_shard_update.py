@@ -168,3 +168,38 @@ def test_shard_map_update_masked_rows():
     ref = batched.update_batch(state, zs, slots, Rs, valid, params)
     np.testing.assert_allclose(np.asarray(out.P), np.asarray(ref.P),
                                rtol=1e-8, atol=1e-11)
+
+
+def test_shard_map_update_bf16_storage_matches_single_chip():
+    """bf16 covariance storage on the sharded path (the tuned large-map
+    combination): small algebra in f32, storage-dtype gathers — tracks
+    the single-chip mixed-precision update within bf16 tolerance, and
+    P stays stored bf16."""
+    import dataclasses
+    params = EKFParams(capacity=8, ref_compat=False, dtype=jnp.float32,
+                       cov_dtype=jnp.bfloat16)
+    state = make_state(dataclasses.replace(params, cov_dtype=None), 4,
+                       seed=8)
+    state = state._replace(P=state.P.astype(jnp.bfloat16))
+    rng = np.random.default_rng(9)
+    zs, Rs = [], []
+    for slot in [0, 2, 3]:
+        z = measurement_of(state, slot, noise=0.02, rng=rng)
+        zs.append(z)
+        Rs.append(np.diag([abs(z[0]) * 0.1, abs(z[1]) * 5.0]))
+    zs = jnp.asarray(np.stack(zs), jnp.float32)
+    Rs = jnp.asarray(np.stack(Rs), jnp.float32)
+    slots = jnp.asarray([0, 2, 3])
+    valid = jnp.ones((3,), bool)
+
+    ref = batched.update_batch(state, zs, slots, Rs, valid, params)
+    mesh = make_mesh()
+    for corr in ("gemm", "syrk"):
+        p = dataclasses.replace(params, correction=corr)
+        out = sharded_update_batch(state, zs, slots, Rs, valid, p, mesh)
+        assert out.P.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out.x), np.asarray(ref.x), rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(
+            np.asarray(out.P, dtype=np.float32),
+            np.asarray(ref.P, dtype=np.float32), rtol=5e-2, atol=5e-2)
