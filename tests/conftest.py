@@ -34,3 +34,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound in-process compiler-state growth across the ~230-test run.
+
+    Full-suite runs intermittently died with a segfault/abort INSIDE an
+    XLA CPU compile late in the run (observed at 64-96% in three
+    different tests, including once with nothing else on the host) —
+    consistent with accumulated compiled-executable state, not with any
+    single test.  Dropping the jit caches between modules keeps the live
+    executable population bounded; modules rarely share programs, so the
+    recompile cost is small."""
+    yield
+    jax.clear_caches()
