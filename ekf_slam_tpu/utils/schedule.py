@@ -46,10 +46,12 @@ def recommended_schedule(capacity: int, batch: Optional[int] = None
     + the aliased SYRK correction are what make it runnable at all;
     BASELINE.md capacity-ceiling table)."""
     if capacity <= 2000:
-        # round-4 promotion: M=4096 chunk-256 measured 838.1k vs
-        # M=2048's 799.5k at 1k (clean same-invocation medians, spreads
-        # 0.2%/0.6% — r1's 822k hint confirmed against error bars)
-        m = batch or 4096
+        # round-4 promotion: chunk-256 scheduling with the batch at the
+        # measured throughput knee.  Clean solo medians-of-5 at 1k
+        # (spreads ≤0.6%): M=2048 → 799.5k, M=4096 → 838.1k (+4.8%),
+        # M=8192 → 858.9k (+2.5%), M=16384 → 866.7k (+0.9%, flattening)
+        # — M=8192 is the knee; larger batches buy <1% per doubling.
+        m = batch or 8192
         return {"batch": m, "update_chunks": max(1, m // 256),
                 "pht_mode": "dense", "cov_dtype": None,
                 "correction": "gemm"}

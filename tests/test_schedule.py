@@ -28,7 +28,7 @@ def test_tuned_params_applies_knobs():
     assert p.cov_dt == jnp.bfloat16
     assert p.correction == "syrk"
     q = tuned_params(EKFParams(capacity=128))
-    assert q.pht_mode == "dense" and q.update_chunks == 16
+    assert q.pht_mode == "dense" and q.update_chunks == 32
     assert q.capacity == 128 and q.cov_dtype is None
     assert q.correction == "gemm"
 
