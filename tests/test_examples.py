@@ -87,3 +87,13 @@ def test_live_view_example(tmp_path, capsys):
     assert "live view: 4 frames" in out
     import os
     assert os.path.getsize(gif) > 1000       # a real multi-frame GIF
+
+
+def test_sr_filter_example(capsys):
+    import pytest
+    with pytest.raises(SystemExit) as e:
+        run_example("sr_filter.py", ["--ticks", "30"])
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    assert "square-root forms PSD: PASS" in out
+    assert "factor triangular: True" in out
