@@ -90,6 +90,34 @@ def serve_trajectory(port: int, odom: np.ndarray, ranges: np.ndarray,
         srv.close()
 
 
+def native_feeder_path() -> Optional[str]:
+    """Compile (once) and return the path of the C++ robot-side feeder
+    binary (native/scan_feeder.cc) — the reference's ROS-publisher side
+    as a standalone native program: it replays a recorded scan log
+    (io/scanlog format) over this module's TCP protocol.  None when no
+    toolchain is available (callers fall back to the Python feeder).
+
+        python: src = SocketScanSource("127.0.0.1", port)
+        shell:  scan_feeder session.ekslog <port> [rate_hz]
+    """
+    import os
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    src = os.path.join(repo, "native", "scan_feeder.cc")
+    out_dir = os.path.join(repo, "native", "build")
+    binary = os.path.join(out_dir, "scan_feeder")
+    try:
+        if not os.path.exists(binary) or (
+                os.path.getmtime(binary) < os.path.getmtime(src)):
+            os.makedirs(out_dir, exist_ok=True)
+            subprocess.run(["g++", "-O2", "-o", binary, src],
+                           check=True, capture_output=True)
+        return binary
+    except Exception:
+        return None
+
+
 class SocketScanSource:
     """Receiver side of the seam: blocking per-tick iterator of
     ``(odom_pose f[3], ranges f[B])`` — the `receive(laser)`/

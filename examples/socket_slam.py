@@ -45,6 +45,10 @@ def main(argv=None):
     ap.add_argument("--rate-hz", type=float, default=0.0,
                     help="feeder cadence (0 = unthrottled)")
     ap.add_argument("--window", type=int, default=8)
+    ap.add_argument("--native", action="store_true",
+                    help="feed from the C++ robot-side binary "
+                         "(native/scan_feeder.cc) replaying a recorded "
+                         "scan log, instead of the Python feeder")
     args = ap.parse_args(argv)
 
     cfg = SimConfig(n_beams=720, max_range=12.0)
@@ -55,22 +59,59 @@ def main(argv=None):
     ranges = np.asarray(traj.ranges, np.float32)
 
     # --- feeder process: the "robot" on the other side of the socket
-    # (spawn, not fork: forking a process that already initialized JAX's
-    # thread pools can deadlock)
-    ctx = mp.get_context("spawn")
-    ready = ctx.Event()
-    feeder = ctx.Process(
-        target=serve_trajectory,
-        args=(args.port, odom, ranges),
-        kwargs=dict(rate_hz=args.rate_hz or None, ready_event=ready),
-        daemon=True)
-    feeder.start()
-    if not ready.wait(timeout=10):
-        print("feeder did not come up", file=sys.stderr)
-        return 1
+    if args.native:
+        # the C++ robot-side binary replaying a recorded scan log —
+        # native on the robot like the reference's ROS publisher side
+        import subprocess
+        import tempfile
+        import time
+
+        from ekf_slam_tpu.io import scanlog
+        from ekf_slam_tpu.io.socket_feed import native_feeder_path
+
+        binary = native_feeder_path()
+        if binary is None:
+            print("no C++ toolchain for --native", file=sys.stderr)
+            return 1
+        tmp = tempfile.NamedTemporaryFile(suffix=".ekslog", delete=False)
+        scanlog.write(tmp.name, odom, ranges)
+        feeder_cmd = [binary, tmp.name, str(args.port)]
+        if args.rate_hz:
+            feeder_cmd.append(str(args.rate_hz))
+        proc = subprocess.Popen(feeder_cmd)
+        src = None
+        for _ in range(100):                    # wait for listen
+            try:
+                src = SocketScanSource("127.0.0.1", args.port,
+                                       connect_timeout=1.0)
+                break
+            except OSError:
+                time.sleep(0.1)
+        if src is None:
+            print("native feeder did not come up", file=sys.stderr)
+            return 1
+
+        class _Joiner:
+            def join(self, timeout=None):
+                proc.wait(timeout=timeout)
+        feeder = _Joiner()
+    else:
+        # Python feeder (spawn, not fork: forking a process that already
+        # initialized JAX's thread pools can deadlock)
+        ctx = mp.get_context("spawn")
+        ready = ctx.Event()
+        feeder = ctx.Process(
+            target=serve_trajectory,
+            args=(args.port, odom, ranges),
+            kwargs=dict(rate_hz=args.rate_hz or None, ready_event=ready),
+            daemon=True)
+        feeder.start()
+        if not ready.wait(timeout=10):
+            print("feeder did not come up", file=sys.stderr)
+            return 1
+        src = SocketScanSource("127.0.0.1", args.port)
 
     # --- live consumer: blocking receive → streaming driver
-    src = SocketScanSource("127.0.0.1", args.port)
     sess = make_session()
     stream = StreamingSlamSession(sess, n_beams=src.n_beams,
                                   beam_angles=traj.beam_angles,

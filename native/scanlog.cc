@@ -16,17 +16,13 @@
 #include <cstdio>
 #include <cstring>
 
+#include "scanlog_format.h"
+
 namespace {
 
-constexpr uint32_t kMagic = 0x4c534b45;  // "EKSL"
-constexpr uint32_t kVersion = 1;
-
-struct Header {
-  uint32_t magic;
-  uint32_t version;
-  uint32_t n_ticks;
-  uint32_t n_beams;
-};
+using ekslog::kMagic;
+using ekslog::kVersion;
+using Header = ekslog::Header;
 
 }  // namespace
 

@@ -97,3 +97,13 @@ def test_sr_filter_example(capsys):
     out = capsys.readouterr().out
     assert "square-root forms PSD: PASS" in out
     assert "factor triangular: True" in out
+
+
+def test_socket_slam_native_feeder_example(capsys):
+    import pytest
+    with pytest.raises(SystemExit) as e:
+        run_example("socket_slam.py",
+                    ["--ticks", "25", "--port", "47423", "--native"])
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    assert "tick-exact vs offline run: PASS" in out

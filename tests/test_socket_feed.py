@@ -78,3 +78,52 @@ def test_socket_source_rejects_bad_magic():
     with pytest.raises(OSError, match="EKSL"):
         SocketScanSource("127.0.0.1", port)
     t.join(timeout=5)
+
+
+def test_native_feeder_streams_scanlog():
+    """The C++ robot-side feeder binary (native/scan_feeder.cc): write a
+    scan log, stream it with the native binary, consume with
+    SocketScanSource — arrays must round-trip exactly across the
+    language + process boundary."""
+    import subprocess
+    import tempfile
+
+    from ekf_slam_tpu.io.scanlog import write
+    from ekf_slam_tpu.io.socket_feed import native_feeder_path
+
+    binary = native_feeder_path()
+    if binary is None:
+        pytest.skip("no C++ toolchain")
+
+    rng = np.random.default_rng(3)
+    T, B = 12, 90
+    odom = rng.normal(size=(T, 3)).astype(np.float32)
+    ranges = rng.uniform(0.5, 10.0, (T, B)).astype(np.float32)
+    ranges[2, 5] = np.nan                       # no-return encoding
+
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/s.ekslog"
+        write(path, odom, ranges)
+        port = _free_port()
+        proc = subprocess.Popen([binary, path, str(port)],
+                                stderr=subprocess.PIPE)
+        try:
+            import time
+            got = None
+            for _ in range(50):                 # wait for listen
+                try:
+                    src = SocketScanSource("127.0.0.1", port,
+                                           connect_timeout=1.0)
+                    break
+                except OSError:
+                    time.sleep(0.1)
+            assert src.n_beams == B
+            got = list(src)
+        finally:
+            proc.wait(timeout=20)
+        assert proc.returncode == 0
+        assert len(got) == T
+        np.testing.assert_array_equal(
+            np.stack([o for o, _ in got]), odom)
+        np.testing.assert_array_equal(
+            np.stack([r for _, r in got]), ranges)
