@@ -285,3 +285,49 @@ def test_measure_batched_capacity_full_drops_new():
     out = batched.measure_batched(state, obs, u, PARAMS)
     assert int(out.n_active) == 8
     assert np.all(np.isfinite(np.asarray(out.P)))
+
+
+def test_joint_update_is_permutation_equivariant():
+    """The joint rank-2M update must not depend on observation order
+    within the batch (the algebra is permutation-equivariant; this is
+    also what licenses in-chunk reorderings like the sorted-gather
+    experiment).  Checked for the dense gemm path, rows mode, and the
+    factor-space Andrews update."""
+    import dataclasses
+
+    from ekf_slam_tpu.models import srekf, srekf_fast
+
+    state, _ = make_pair(5, seed=17)
+    rng = np.random.default_rng(5)
+    zs, Rs = [], []
+    slots_l = [0, 3, 1, 4, 2]
+    for slot in slots_l:
+        z = measurement_of(state, slot, noise=0.02, rng=rng)
+        zs.append(z)
+        Rs.append(np.diag([abs(z[0]) * 0.1, abs(z[1]) * 5.0]))
+    zs = jnp.asarray(np.stack(zs))
+    Rs = jnp.asarray(np.stack(Rs))
+    slots = jnp.asarray(slots_l)
+    valid = jnp.asarray([True, True, False, True, True])
+    perm = jnp.asarray([4, 2, 0, 3, 1])
+
+    for name, params in (
+            ("gemm", PARAMS),
+            ("rows", dataclasses.replace(PARAMS, pht_mode="rows"))):
+        a = batched.update_batch(state, zs, slots, Rs, valid, params)
+        b = batched.update_batch(state, zs[perm], slots[perm], Rs[perm],
+                                 valid[perm], params)
+        np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x),
+                                   rtol=1e-11, atol=1e-13, err_msg=name)
+        np.testing.assert_allclose(np.asarray(a.P), np.asarray(b.P),
+                                   rtol=1e-10, atol=1e-12, err_msg=name)
+
+    sr = srekf.factor_from_state(state)
+    sa = srekf_fast.sr_update_andrews(sr, zs, slots, Rs, valid, PARAMS)
+    sb = srekf_fast.sr_update_andrews(sr, zs[perm], slots[perm], Rs[perm],
+                                      valid[perm], PARAMS)
+    np.testing.assert_allclose(np.asarray(sa.x), np.asarray(sb.x),
+                               rtol=1e-11, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(sa.P @ sa.P.T),
+                               np.asarray(sb.P @ sb.P.T),
+                               rtol=1e-10, atol=1e-12)
