@@ -21,6 +21,13 @@ measured on a v5e chip (BASELINE.md round-2 tables):
 ``recommended_schedule`` returns those defaults; bench.py and user code
 share it so the tuned configuration is a product feature, not a
 benchmark detail.
+
+The 2000-capacity boundary is measured, not inherited: probing both
+schedules at mid-size maps (experiments/prof_midsize.py, chip medians)
+gives small-style 475k vs large-style 390k at K=2000, flipping to
+297k vs 261k at K=3000 (large wins from there: 235k vs 165k at 4k,
+148k vs 85k at 6k) — the crossover sits between 2k and 3k, on the
+small side of which the boundary already lies.
 """
 from __future__ import annotations
 
