@@ -235,6 +235,51 @@ def stage_w(D=20480, R=1024, n_it=16):
             log({"stage": "W", "impl": name, "error": repr(e)[:300]})
 
 
+def stage_v(capacity=1024, T=64):
+    """Re-measure round-3 stage C (sharded-session n=1 overhead) with
+    FETCH-based timing — the original used block_until_ready, which the
+    round-4 corrections showed can return early for scan programs, so
+    the ±1-2% overhead claims in SCALING.md §3 need re-validation."""
+    from ekf_slam_tpu.config import RansacParams, SimConfig
+    from ekf_slam_tpu.parallel.mesh import make_mesh
+    from ekf_slam_tpu.parallel.sharded import ShardedSlamSession
+    from ekf_slam_tpu.session import SlamSession
+    from ekf_slam_tpu.sim import world as W
+
+    cfg = SimConfig(n_beams=720, max_range=12.0)
+    room = W.rectangle_room(4.0, 3.0)
+    traj = W.simulate(room, W.circle_controls(T, 0.05, 3.0), cfg,
+                      jax.random.PRNGKey(0))
+    ep = EKFParams(capacity=capacity, max_obs=8, ref_compat=False,
+                   update_mode="batched", dtype=jnp.float32)
+    rp = RansacParams(line_consensus=60, bearing_window_deg=15.0,
+                      wall_search_timeout=4, table_capacity=64,
+                      promote_count=5, ref_compat=False, n_hypotheses=64,
+                      dtype=jnp.float32)
+    odom = jnp.asarray(traj.odom, jnp.float32)
+    rng_r = jnp.asarray(traj.ranges, jnp.float32)
+    beams = jnp.asarray(traj.beam_angles, jnp.float32)
+
+    base = SlamSession(ekf_params=ep, ransac_params=rp, seed=1)
+    carry = base.init_carry(first_odom=odom[0])
+    dt0 = _time(lambda: base._run(carry, odom, rng_r, beams))
+    log({"stage": "V", "config": f"unsharded cap{capacity}",
+         "frames_per_sec": round(T / dt0, 1),
+         "ms_per_tick": round(dt0 / T * 1e3, 3)})
+
+    mesh = make_mesh(n_map=1)
+    for path in ("gspmd", "shard_map"):
+        sh = ShardedSlamSession(mesh=mesh, ekf_params=ep,
+                                ransac_params=rp, seed=1,
+                                update_path=path)
+        sc = sh.init_carry(first_odom=odom[0])
+        dt1 = _time(lambda: sh._run(sc, odom, rng_r, beams))
+        log({"stage": "V", "config": f"sharded n=1 {path}",
+             "frames_per_sec": round(T / dt1, 1),
+             "overhead_vs_unsharded_pct": round(
+                 100 * (dt1 / dt0 - 1), 1)})
+
+
 if __name__ == "__main__":
     import sys
     stages = sys.argv[1] if len(sys.argv) > 1 else "CRP"
@@ -248,3 +293,5 @@ if __name__ == "__main__":
         stage_p()
     if "W" in stages:
         stage_w()
+    if "V" in stages:
+        stage_v()
