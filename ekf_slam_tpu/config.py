@@ -23,6 +23,14 @@ ASSOC_SIGNATURE = "signature"
 #: full maximum-likelihood gate: Mahalanobis position cost (+ signature),
 #: the math the reference builds but never uses.
 ASSOC_ML = "ml"
+#: full ML gate + batch-level mutual exclusion: each landmark accepts only
+#: its lowest-cost claimant per batch; out-claimed observations are treated
+#: as new candidates.  The reference's sequential loop re-gates every
+#: observation against the updated state and can still double-associate
+#: (Correspondence.m gives no exclusivity); the batched gate's independent
+#: argmins can too — this mode closes that hole with two parallel
+#: scatter-mins (ops/association.gate_batch).
+ASSOC_ML_UNIQUE = "ml_unique"
 #: known correspondence — the EKF_SLAM.m path where z carries the landmark id.
 ASSOC_KNOWN = "known"
 
@@ -200,6 +208,9 @@ class EKFParams:
                     f"options {bad}; unset them (square-root filters keep "
                     "full-precision factor storage and have the row-gather "
                     "built in)")
+        if self.association not in (ASSOC_SIGNATURE, ASSOC_ML,
+                                    ASSOC_ML_UNIQUE, ASSOC_KNOWN):
+            raise ValueError(f"unknown association {self.association!r}")
         if self.rows_gather not in ("take", "pallas"):
             raise ValueError(f"unknown rows_gather {self.rows_gather!r}")
         if (self.rows_gather == "pallas"

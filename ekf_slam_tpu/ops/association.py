@@ -19,8 +19,28 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-from ..config import ASSOC_ML, EKFParams
+from ..config import ASSOC_ML, ASSOC_ML_UNIQUE, EKFParams
 from .angles import atan2d, wrap_to_180, wrap_to_360
+
+
+def _exclusive(is_new: jnp.ndarray, slot: jnp.ndarray,
+               best_cost: jnp.ndarray, K: int
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batch-level mutual exclusion (association='ml_unique'): each slot
+    accepts only its lowest-cost claimant; everyone else becomes a new
+    candidate.  Two parallel scatter-mins — no sequential assignment
+    loop, any batch size.  Ties break to the lowest observation index
+    (deterministic, matching argmin's first-occurrence rule)."""
+    M = slot.shape[0]
+    inf = jnp.asarray(jnp.inf, best_cost.dtype)
+    claim = jnp.where(is_new, inf, best_cost)                   # [M]
+    claimed = jnp.full((K,), inf, best_cost.dtype).at[slot].min(claim)
+    midx = jnp.where(~is_new & (claim == claimed[slot]),
+                     jnp.arange(M), M)
+    claimed_m = jnp.full((K,), M, jnp.int32).at[slot].min(
+        midx.astype(jnp.int32))
+    winner = ~is_new & (jnp.arange(M) == claimed_m[slot])
+    return ~winner, slot
 
 
 def _lm_diag_blocks(P: jnp.ndarray, K: int) -> jnp.ndarray:
@@ -157,6 +177,9 @@ def gate_batch(state, zs: jnp.ndarray, Rs: jnp.ndarray, params: EKFParams,
         is_new = jnp.logical_not(jnp.any(passes, axis=1))
         slot = jnp.argmin(jnp.where(passes, cost, inf),
                           axis=1).astype(jnp.int32)
+        if params.association == ASSOC_ML_UNIQUE:
+            best = jnp.take_along_axis(cost, slot[:, None], 1)[:, 0]
+            return _exclusive(is_new, slot, best, state.capacity)
         return is_new, slot
 
     x, P = state.x, state.P
@@ -214,7 +237,7 @@ def gate_batch(state, zs: jnp.ndarray, Rs: jnp.ndarray, params: EKFParams,
     sc = jnp.asarray(params.s_cost, x.dtype)
     signature_cost = (zs[:, 2:3] - state.sig[None, :]) ** 2 / sc  # [M,K]
 
-    if params.association == ASSOC_ML:
+    if params.association in (ASSOC_ML, ASSOC_ML_UNIQUE):
         cost = position_cost + signature_cost
     else:
         cost = signature_cost
@@ -223,6 +246,9 @@ def gate_batch(state, zs: jnp.ndarray, Rs: jnp.ndarray, params: EKFParams,
     passes = cost <= jnp.asarray(params.s_thresh, cost.dtype)
     is_new = jnp.logical_not(jnp.any(passes, axis=1))
     slot = jnp.argmin(jnp.where(passes, cost, inf), axis=1).astype(jnp.int32)
+    if params.association == ASSOC_ML_UNIQUE:
+        best = jnp.take_along_axis(cost, slot[:, None], 1)[:, 0]
+        return _exclusive(is_new, slot, best, K)
     return is_new, slot
 
 
@@ -234,8 +260,10 @@ def gate(state, z: jnp.ndarray, R2: jnp.ndarray, params: EKFParams
     its cost ≤ s_thresh; among passing slots the first minimum wins
     (jnp.argmin = first occurrence, matching the strict-< update rule)."""
     position_cost, signature_cost = gate_costs(state, z, R2, params)
-    if params.association == ASSOC_ML:
-        # the intent the reference commented out (Correspondence.m:74)
+    if params.association in (ASSOC_ML, ASSOC_ML_UNIQUE):
+        # the intent the reference commented out (Correspondence.m:74);
+        # ml_unique's exclusion is a batch concept — one observation at a
+        # time gates identically to plain ML
         cost = position_cost + signature_cost
     else:
         cost = signature_cost                  # shipped behavior (:75)

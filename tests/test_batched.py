@@ -331,3 +331,66 @@ def test_joint_update_is_permutation_equivariant():
     np.testing.assert_allclose(np.asarray(sa.P @ sa.P.T),
                                np.asarray(sb.P @ sb.P.T),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_gate_batch_ml_unique_mutual_exclusion():
+    """association='ml_unique': a landmark accepts only its best claimant
+    per batch; the out-claimed observation becomes a new candidate, ties
+    break to the lowest observation index, and singleton associations
+    match plain ML exactly."""
+    import dataclasses
+
+    from ekf_slam_tpu.ops.association import gate_batch
+
+    state, _ = make_pair(3, seed=7)
+    rng = np.random.default_rng(2)
+    z_close = measurement_of(state, 1, noise=0.001, rng=rng)
+    z_far = measurement_of(state, 1, noise=0.001, rng=rng)
+    z_far[0] += 0.2                       # same landmark, worse claim
+    z_other = measurement_of(state, 2, noise=0.001, rng=rng)
+    zs = jnp.asarray(np.stack([z_far, z_close, z_other]))
+    Rs = jnp.asarray(np.tile(np.diag([0.05, 1.0]), (3, 1, 1)))
+
+    ml = dataclasses.replace(PARAMS, association="ml", s_cost=1e6,
+                             s_thresh=50.0)
+    mlu = dataclasses.replace(ml, association="ml_unique")
+
+    is_new0, slot0 = gate_batch(state, zs, Rs, ml)
+    assert not bool(is_new0.any())
+    assert slot0.tolist() == [1, 1, 2]    # double association under ML
+
+    is_new1, slot1 = gate_batch(state, zs, Rs, mlu)
+    assert is_new1.tolist() == [True, False, False]   # loser → new
+    assert slot1.tolist()[1:] == [1, 2]
+
+    # exact tie: lowest observation index wins
+    zs_tie = jnp.asarray(np.stack([z_close, z_close]))
+    Rs_tie = Rs[:2]
+    is_new2, _ = gate_batch(state, zs_tie, Rs_tie, mlu)
+    assert is_new2.tolist() == [False, True]
+
+
+def test_session_with_ml_unique_association():
+    """ml_unique end-to-end through the batched session: runs, maps, and
+    with well-separated sim landmarks matches the ml session."""
+    from ekf_slam_tpu.config import EKFParams
+    from ekf_slam_tpu.session import SlamSession
+    from test_sim_session import SIM_RANSAC, make_traj
+
+    traj, _ = make_traj(T=30)
+    common = dict(capacity=16, max_obs=8, ref_compat=False,
+                  update_mode="batched", dtype=jnp.float64,
+                  association="ml", s_cost=1e6, s_thresh=1e3)
+    a = SlamSession(ekf_params=EKFParams(**common),
+                    ransac_params=SIM_RANSAC, seed=1)
+    common["association"] = "ml_unique"
+    b = SlamSession(ekf_params=EKFParams(**common),
+                    ransac_params=SIM_RANSAC, seed=1)
+    ca, oa = a.run(traj.odom, traj.ranges, traj.beam_angles)
+    cb, ob = b.run(traj.odom, traj.ranges, traj.beam_angles)
+    # under this loose gate plain ML COLLAPSES the map: every wall foot
+    # associates to the first landmark and the map never grows past it —
+    # exactly the contention failure the unique gate exists to prevent
+    assert int(ca.filt.n_active) == 1
+    assert int(cb.filt.n_active) == 4      # all four walls mapped
+    assert np.isfinite(np.asarray(ob.pose)).all()
