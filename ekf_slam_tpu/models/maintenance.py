@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..config import EKFParams
@@ -174,4 +175,10 @@ def maintain(state: FilterState, params: EKFParams,
         drop = drop | prune_by_uncertainty(state, max_trace, factored)
     n = jnp.sum(drop).astype(jnp.int32)
     evict = evict_landmarks_factored if factored else evict_landmarks
-    return evict(state, drop, params), n
+    # An all-False drop is an identity permutation: skip the whole pass
+    # (for a factored state the evict ends in a full O(D³) sr_recompress —
+    # without this guard a no-evict maintenance tick silently pays a
+    # per-tick recompression; the dense path's two O(D²) gathers are
+    # likewise wasted work).  lax.cond executes only the taken branch.
+    return jax.lax.cond(n > 0, lambda s: evict(s, drop, params),
+                        lambda s: s, state), n

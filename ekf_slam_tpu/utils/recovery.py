@@ -73,6 +73,72 @@ def run_with_checkpoints(session, odom, ranges, beam_angles, ckpt_dir: str,
     return carry, jnp.concatenate(poses, axis=0), t
 
 
+def drive_ticks(session, odom, ranges, beam_angles, ckpt_dir=None,
+                every: int = 0, carry=None,
+                die_at_tick: Optional[int] = None, start_tick: int = 0):
+    """Tick-by-tick driver that is SAFE under ``donate_carry``.
+
+    At the 20k/32k capacity ceiling the session donates its carry to the
+    step program — the covariance updates in place and the input carry
+    is CONSUMED (session.donate_carry), which is exactly the regime a
+    long-running session needs recovery for, and exactly the regime
+    where "snapshot whenever convenient" breaks: a consumed carry's
+    buffers are gone.  This driver encodes the correct ordering: the
+    snapshot (a host copy, checkpointing.save_checkpoint) is taken
+    BEFORE the donating step call, so the host copy is independent of
+    the buffer the step then consumes.
+
+    Returns (final_carry, pose_history [T-start,3], next_tick);
+    checkpoints every ``every`` ticks when ``ckpt_dir`` is given;
+    ``die_at_tick`` raises HostCrash before that tick's step runs
+    (fault injection — tests/test_recovery.py)."""
+    import numpy as np
+
+    odom = jnp.asarray(odom)
+    ranges = jnp.asarray(ranges)
+    T = odom.shape[0]
+    if carry is None:
+        carry = session.init_carry(
+            first_odom=odom[0] if start_tick == 0 else odom[start_tick - 1],
+            n_beams=(ranges.shape[1]
+                     if session.control_source in ("icp", "fused")
+                     else None))
+    poses = []
+    for t in range(start_tick, T):
+        if ckpt_dir is not None and every and t > start_tick and (
+                t % every == 0):
+            # host copy FIRST — the step below consumes the carry
+            ckpt.save_checkpoint(ckpt_dir, carry, step=t)
+        if die_at_tick is not None and t == die_at_tick:
+            raise HostCrash(f"simulated crash at tick {t}")
+        carry, out = session.step(carry, odom[t], ranges[t], beam_angles)
+        poses.append(np.asarray(out.pose))
+    if ckpt_dir is not None:
+        ckpt.save_checkpoint(ckpt_dir, carry, step=T)
+    hist = (jnp.asarray(np.stack(poses)) if poses
+            else jnp.zeros((0, 3)))
+    return carry, hist, T
+
+
+def resume_latest_ticks(session, odom, ranges, beam_angles, ckpt_dir: str,
+                        every: int = 0) -> Tuple[Any, jnp.ndarray, int]:
+    """Restart path for the tick-by-tick (donating) driver: load the
+    newest snapshot, continue with drive_ticks."""
+    latest = ckpt.latest_step_dir(ckpt_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    start = int(os.path.basename(latest).split("_")[1])
+    template = session.init_carry(
+        first_odom=jnp.asarray(odom)[0],
+        n_beams=(jnp.asarray(ranges).shape[1]
+                 if session.control_source in ("icp", "fused") else None))
+    carry = ckpt.load_checkpoint(latest, template)
+    final, poses, t = drive_ticks(session, odom, ranges, beam_angles,
+                                  ckpt_dir, every=every, carry=carry,
+                                  start_tick=start)
+    return final, poses, start
+
+
 def resume_latest(session, odom, ranges, beam_angles, ckpt_dir: str,
                   every: int = 25) -> Tuple[Any, jnp.ndarray, int]:
     """Restart path: load the newest snapshot and replay the tail.

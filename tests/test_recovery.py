@@ -106,6 +106,47 @@ def test_recovery_composes_with_fault_injection(tmp_path):
     assert np.linalg.norm(pose - truth) < 0.75, (pose, truth)
 
 
+def test_donated_session_crash_resume_bit_continuous(tmp_path):
+    """Checkpoint/resume in the SINGLE-BUFFER regime (VERDICT r4 item 4):
+    the session donates its carry to the step program (the 20k/32k
+    capacity-ceiling mode, where P has one buffer and the input carry is
+    CONSUMED) — recovery.drive_ticks snapshots the carry to host BEFORE
+    each donating step, so a crash still resumes bit-continuously."""
+    traj, _ = make_traj(T=60)
+    odom, ranges, beams = traj.odom, traj.ranges, traj.beam_angles
+
+    def donated_session(seed=1):
+        s = SlamSession(
+            algorithm="EKF_SLAM_UC",
+            ekf_params=EKFParams(capacity=16, max_obs=8, ref_compat=False,
+                                 update_mode="batched", dtype=jnp.float64),
+            ransac_params=SIM_RANSAC, seed=seed, donate_carry=True)
+        assert s.donate_carry is True
+        return s
+
+    ref_dir = str(tmp_path / "ref")
+    ref_carry, ref_poses, _ = recovery.drive_ticks(
+        donated_session(), odom, ranges, beams, ref_dir, every=20)
+
+    crash_dir = str(tmp_path / "crash")
+    with pytest.raises(recovery.HostCrash):
+        recovery.drive_ticks(donated_session(), odom, ranges, beams,
+                             crash_dir, every=20, die_at_tick=47)
+
+    final, tail, start = recovery.resume_latest_ticks(
+        donated_session(), odom, ranges, beams, crash_dir, every=20)
+    assert start == 40
+    np.testing.assert_allclose(np.asarray(final.filt.x),
+                               np.asarray(ref_carry.filt.x),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(final.filt.P),
+                               np.asarray(ref_carry.filt.P),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(tail),
+                               np.asarray(ref_poses[40:]),
+                               rtol=0, atol=0)
+
+
 def test_resume_without_checkpoint_raises(tmp_path):
     traj, _ = make_traj(T=10)
     with pytest.raises(FileNotFoundError):
