@@ -53,9 +53,44 @@ class EKFParams:
 
     #: process-noise constant C (EKF_SLAM.m:12).
     c_process: float = 0.2
+    #: constant per-tick process-noise floor added to the pose block's
+    #: diagonal: (var_x m², var_y m², var_theta deg²).  The reference's
+    #: Q = C·W·Wᵀ is RANK-1 and scales with the control (EKF_SLAM.m:42-44)
+    #: — driving straight (dTheta=0) adds ZERO heading noise, so a filter
+    #: fed real (noisy-every-tick) odometry grows overconfident, its gate
+    #: rejects honest re-observations, and the map fills with shifted
+    #: duplicates (measured: the large-world campaign diverged exactly
+    #: this way).  Matching the floor to the actual per-tick odometry
+    #: noise keeps the gate honest.  (0,0,0) = reference behavior.
+    q_floor: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     #: measurement-noise constants; R = diag(r*rc[0], phi*rc[1])
     #: (EKF_SLAM_UC.m:110 — noise scales with the measured values).
     rc: Tuple[float, float] = (0.1, 5.0)
+    #: how rc builds the measurement noise R (models/ekf
+    #: .measurement_noise):
+    #:   'scaled'   — the reference model R = diag(z_r*rc0, z_phi*rc1)
+    #:                (EKF_SLAM_UC.m:110).  Note its quirk: the bearing
+    #:                VARIANCE scales with the measured bearing VALUE, so
+    #:                an observation at phi~0 deg gets a near-zero-noise
+    #:                gate while the same landmark seen at phi~359 gets a
+    #:                ~360x sloppier one — an artifact of the wrap
+    #:                convention, kept for parity;
+    #:   'constant' — R = diag(rc0², rc1²), i.e. rc = (sigma_r meters,
+    #:                sigma_phi degrees) as honest constant stds.  The
+    #:                sane choice for ML gating at scale (the large-world
+    #:                campaign measured the scaled gate mis-associating
+    #:                through the phi~0 pathology);
+    #:   'fit'      — per-observation R propagated from the extractor's
+    #:                line-fit covariance (ObsBatch.R: full 2x2,
+    #:                anisotropic — the perpendicular-foot landmark's
+    #:                error is ~lever_arm x fit-angle error along the
+    #:                wall line vs centimeters across it), PLUS the
+    #:                diag(rc0², rc1²) constant floor.  The statistically
+    #:                honest model for the reference's foot features at
+    #:                large-world scale; requires observations from the
+    #:                RANSAC extractor (rows without ObsBatch.R fall
+    #:                back to the constant floor).
+    noise_model: str = "scaled"
     #: signature cost scale (EKF_SLAM_UC.m:16 → Correspondence.m:71).
     s_cost: float = 1e-11
     #: new-landmark gate threshold (EKF_SLAM_UC.m:16 → Correspondence.m:78).
@@ -65,6 +100,21 @@ class EKFParams:
 
     #: association mode — see ASSOC_* constants.
     association: str = ASSOC_SIGNATURE
+
+    #: ml_unique only: what happens to a gated observation that LOSES its
+    #: slot claim to a lower-cost observation in the same batch.
+    #:   'append' — the loser is flagged is_new and APPENDED as a new
+    #:              landmark (the historical behavior).  Safe inside a
+    #:              session, where the extractor dedupes observations per
+    #:              tick; a direct gate_batch/measure_batched user feeding
+    #:              two observations of the same landmark in one batch
+    #:              gets a duplicate landmark per loser (pair with
+    #:              maintain_merge_radius to reabsorb them).
+    #:   'drop'   — the loser is treated as invalid for this batch:
+    #:              neither updated nor appended (re-observe next tick —
+    #:              the reference's sequential loop would simply have
+    #:              re-associated it, Correspondence.m:49-87).
+    ml_losers: str = "append"
 
     #: measurement-phase scheduling: 'sequential' replays the reference's
     #: per-observation update chain (EKF_SLAM_UC.m:109-150, bit-parity
@@ -200,6 +250,10 @@ class EKFParams:
                 ("symmetrize", self.symmetrize),
                 ("masked_writes", self.masked_writes),
                 ("pht_mode='rows'", self.pht_mode == "rows"),
+                # the factor predicts absorb process noise as rank-1
+                # column deposits (srekf_fast) / pre-array blocks (srekf)
+                # built from the reference's C·w·wᵀ only
+                ("q_floor", any(q > 0 for q in self.q_floor)),
             ]
             bad = [name for name, hit in ignored if hit]
             if bad:
@@ -211,6 +265,22 @@ class EKFParams:
         if self.association not in (ASSOC_SIGNATURE, ASSOC_ML,
                                     ASSOC_ML_UNIQUE, ASSOC_KNOWN):
             raise ValueError(f"unknown association {self.association!r}")
+        if self.noise_model not in ("scaled", "constant", "fit"):
+            raise ValueError(f"unknown noise_model {self.noise_model!r}; "
+                             "use 'scaled' (reference), 'constant' or "
+                             "'fit'")
+        if self.noise_model != "scaled" and self.ref_compat:
+            raise ValueError(
+                f"noise_model={self.noise_model!r} departs from the "
+                "reference's value-scaled R (EKF_SLAM_UC.m:110) — unset "
+                "ref_compat")
+        if self.ml_losers not in ("append", "drop"):
+            raise ValueError(f"unknown ml_losers {self.ml_losers!r}; "
+                             "use 'append' or 'drop'")
+        if self.ml_losers == "drop" and self.association != ASSOC_ML_UNIQUE:
+            raise ValueError(
+                "ml_losers='drop' only applies to association='ml_unique' "
+                "(no other mode produces batch-level losers)")
         if self.rows_gather not in ("take", "pallas"):
             raise ValueError(f"unknown rows_gather {self.rows_gather!r}")
         if (self.rows_gather == "pallas"
@@ -278,6 +348,62 @@ class RansacParams:
 
     #: candidate-table capacity (reference list grows unbounded, RANSAC.m:297).
     table_capacity: int = 256
+    #: how a candidate foot associates to the table:
+    #:   'all'     — EVERY entry within assoc_dist matches (the
+    #:               reference's broken break at RANSAC.m:289: all of
+    #:               them increment, snap, and emit an observation row);
+    #:               with duplicate promoted entries this emits the SAME
+    #:               measured foot as several "independent" observations
+    #:               per tick — the joint update then applies it
+    #:               multiply, collapsing covariance and yanking the
+    #:               pose (measured campaign divergence driver);
+    #:   'nearest' — only the nearest entry within assoc_dist matches:
+    #:               one observation row per physical measurement.
+    match_mode: str = "all"
+    #: extra tightened refit passes after a wall is accepted: each pass
+    #: re-selects inliers within ``refine_frac`` x the previous distance
+    #: threshold and refits.  0 = reference behavior (single refit over
+    #: everything within inlier_dist, RANSAC.m:206-209).  Why it exists:
+    #: in large multi-wall worlds the refit band sweeps up points of
+    #: NEIGHBORING near-collinear walls near their intersection, biasing
+    #: the fitted angle by ~1 deg — and the landmark (the perpendicular
+    #: foot from the WORLD ORIGIN, RANSAC.m:220) amplifies angle error by
+    #: the origin lever arm, scattering repeat observations of one wall
+    #: by ~0.5 m (measured: extractor-only probe, 3x3-room floorplan) —
+    #: past the association radius, so every wall spawns duplicate
+    #: candidates.  Two tightened passes cut the contamination band ~4x.
+    refine_passes: int = 0
+    #: per-pass inlier-band shrink factor for refine_passes.
+    refine_frac: float = 0.5
+    #: if >0 (degrees), split accepted walls at the KINK between two
+    #: almost-collinear physical walls that meet without a gap (e.g. the
+    #: per-cell boundary walls of a floorplan): fit the left and right
+    #: halves of the inlier chord; when their angles disagree by more
+    #: than this, cut at the half-lines' intersection, keep the side
+    #: with more points, and refit.  Complements split_gap (which needs
+    #: a spatial gap to trigger).  0 = reference behavior.
+    split_kink_deg: float = 0.0
+    #: if >0, reject accepted walls whose final inlier RMS perpendicular
+    #: residual exceeds this (meters).  Merged or contaminated fits —
+    #: the source of the heavy outlier tail in the perpendicular-foot
+    #: landmarks — carry visibly higher residuals than a clean
+    #: single-wall fit (~ the scan noise), so an RMS gate of a few times
+    #: the range noise drops exactly the fits whose feet would otherwise
+    #: pass the filter's gate with ~1 m errors.  0 = reference behavior
+    #: (no quality gate).
+    max_fit_rms: float = 0.0
+    #: if >0, split accepted walls at the largest internal gap of the
+    #: inlier chord when that gap exceeds this length (meters), keeping
+    #: the side with more points (re-fit), and leaving the other side in
+    #: the pool for its own hypothesis.  0 = reference behavior.  Why:
+    #: two near-collinear walls from NEIGHBORING rooms (a door-split or
+    #: across-room pair) can jointly out-score either single wall, and
+    #: the merged fit's foot lands between the two true lines — measured
+    #: as the dominant foot-error mode at scale (span>6 m fits carried
+    #: p90 ~1.2 m foot error vs ~0.05 m for single-wall fits; the gap in
+    #: the merged chord is exactly the doorway).  1.2 m (smaller than a
+    #: door) is a good default when enabled.
+    split_gap: float = 0.0
     #: >0: use the batched-hypothesis wall search (NH seed lines scored in
     #: one fused pass, ops/ransac.find_walls_batched) instead of the
     #: reference's one-seed-per-round loop.  0 = ref-style sequential.
@@ -289,8 +415,32 @@ class RansacParams:
     #: loop `for ii=(len-3)/2` iterates a single value so only the LAST state
     #: landmark is written back (RANSAC.m:355).  False → write back all.
     writeback_last_only: bool = True
+    #: how write-back maps table entries to filter slots:
+    #:   'ref' — positional: table index i ↦ filter slot i-1 (the
+    #:           reference's assumption, RANSAC.m:336-373 — valid only
+    #:           while landmarks are appended in exact promotion order);
+    #:   'sig' — match by SIGNATURE: the filter stores each landmark's
+    #:           table index as its signature, so the slot is found by
+    #:           sig equality — correct under ML association, duplicate
+    #:           appends, and maintenance compaction/eviction (which
+    #:           permute slots and silently break the positional map:
+    #:           measured as a campaign-scale divergence driver — wrong
+    #:           positions written into the table corrupt candidate
+    #:           association and twist the filter heading);
+    #:   'off' — no write-back (table locs stay at the latest measured
+    #:           feet).
+    writeback_mode: str = "ref"
 
     dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        if self.writeback_mode not in ("ref", "sig", "off"):
+            raise ValueError(
+                f"unknown writeback_mode {self.writeback_mode!r}; "
+                "use 'ref', 'sig' or 'off'")
+        if self.match_mode not in ("all", "nearest"):
+            raise ValueError(f"unknown match_mode {self.match_mode!r}; "
+                             "use 'all' (reference) or 'nearest'")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -271,29 +271,36 @@ def measure_batched(state: FilterState, obs: ObsBatch, u: jnp.ndarray,
     of the running partially-updated state.
     """
     M = obs.rng.shape[0]
-    rc0 = jnp.asarray(params.rc[0], params.dtype)
-    rc1 = jnp.asarray(params.rc[1], params.dtype)
     zs = jnp.stack([obs.rng, obs.bearing,
                     obs.index.astype(params.dtype)], axis=-1)
-    Rs = jax.vmap(lambda z: jnp.diag(
-        jnp.stack([z[0] * rc0, z[1] * rc1])))(zs)              # [M,2,2]
+    Rs = ekf.obs_noise_batch(obs, zs, params)                  # [M,2,2]
 
+    obs_valid = obs.valid
     if params.association == ASSOC_KNOWN:
         is_new = zs[:, 2] > state.n_active.astype(params.dtype)
         slots = jnp.clip(obs.index - 1, 0, state.capacity - 1)
     else:
         from ..ops.association import gate_batch
-        is_new, slots = gate_batch(state, zs, Rs, params,
-                                   use_pallas=params.use_pallas)
+        if params.ml_losers == "drop":
+            # ml_unique out-claimed observations are invalidated for the
+            # batch instead of becoming duplicate appends (EKFParams
+            # .ml_losers; the default 'append' keeps is_new semantics)
+            is_new, slots, losers = gate_batch(
+                state, zs, Rs, params, use_pallas=params.use_pallas,
+                return_losers=True)
+            obs_valid = obs_valid & ~losers
+        else:
+            is_new, slots = gate_batch(state, zs, Rs, params,
+                                       use_pallas=params.use_pallas)
     first = state.n_active == 0
     is_new = jnp.logical_or(is_new, first)
 
-    upd_valid = obs.valid & ~is_new
+    upd_valid = obs_valid & ~is_new
     state = update_chunked(state, zs, slots, Rs, upd_valid, params)
 
     # sequential masked appends for the new ones (cheap rank-type writes)
     def body(ii, s):
         def do(s):
             return ekf.append(s, u, Rs[ii], obs.loc[ii], zs[ii, 2], params)
-        return lax.cond(obs.valid[ii] & is_new[ii], do, lambda s: s, s)
+        return lax.cond(obs_valid[ii] & is_new[ii], do, lambda s: s, s)
     return lax.fori_loop(0, M, body, state)

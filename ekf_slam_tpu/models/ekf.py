@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -74,6 +75,10 @@ def predict(state: FilterState, u: jnp.ndarray, params: EKFParams
 
     W = jnp.stack([dD * cosd(th), dD * sind(th), dTh])
     Qb = jnp.asarray(params.c_process, P.dtype) * jnp.outer(W, W)
+    if any(q > 0 for q in params.q_floor):
+        # constant per-tick pose-noise floor (config.EKFParams.q_floor) —
+        # the reference's rank-1 Q adds nothing on straight driving
+        Qb = Qb + jnp.diag(jnp.asarray(params.q_floor, P.dtype))
 
     new_pose, f13, f23 = motion_model(x[:3], u, params.ref_compat)
     new_pose = new_pose.at[2].set(wrap_to_360(new_pose[2]))
@@ -281,6 +286,52 @@ def update(state: FilterState, z: jnp.ndarray, slot, R2: jnp.ndarray,
 # Per-tick measurement phase: association + append/update over the obs batch
 # ---------------------------------------------------------------------------
 
+def measurement_noise(z: jnp.ndarray, params: EKFParams) -> jnp.ndarray:
+    """Measurement noise R [2,2] for one row z = [r, phi, ...].
+
+    params.noise_model='scaled' (default): the reference's value-scaled
+    R = diag(z_r*rc0, z_phi*rc1) (EKF_SLAM_UC.m:110).  'constant':
+    R = diag(rc0², rc1²) with rc = (sigma_r m, sigma_phi deg) — honest
+    constant stds (see config.EKFParams.noise_model for why the scaled
+    form's bearing term is a gating hazard at scale)."""
+    dt = params.dtype
+    if params.noise_model in ("constant", "fit"):
+        # 'fit' without an ObsBatch covariance degrades to the floor
+        return jnp.diag(jnp.asarray(
+            [params.rc[0] ** 2, params.rc[1] ** 2], dt))
+    rc0 = jnp.asarray(params.rc[0], dt)
+    rc1 = jnp.asarray(params.rc[1], dt)
+    return jnp.diag(jnp.stack([z[0] * rc0, z[1] * rc1])).astype(dt)
+
+
+def measurement_noise_batch(zs: jnp.ndarray, params: EKFParams
+                            ) -> jnp.ndarray:
+    """``measurement_noise`` vmapped over an [M,·] batch → [M,2,2]."""
+    if params.noise_model == "fit":
+        # the caller should route through obs_noise_batch (needs the
+        # ObsBatch's propagated covariance); bare-z paths get the floor
+        return jnp.broadcast_to(
+            jnp.diag(jnp.asarray([params.rc[0] ** 2, params.rc[1] ** 2],
+                                 params.dtype)),
+            (zs.shape[0], 2, 2))
+    return jax.vmap(lambda z: measurement_noise(z, params))(zs)
+
+
+def obs_noise_batch(obs, zs: jnp.ndarray, params: EKFParams) -> jnp.ndarray:
+    """Per-observation measurement noise [M,2,2] for an ObsBatch.
+
+    noise_model='fit': the extractor-propagated anisotropic covariance
+    (ObsBatch.R) plus the diag(rc0², rc1²) sensor floor — the honest
+    model for perpendicular-foot features, whose error is dominated by
+    lever_arm x fitted-angle uncertainty along the wall line (see
+    config.EKFParams.noise_model).  Other modes ignore obs.R."""
+    if params.noise_model == "fit" and obs.R is not None:
+        floor = jnp.diag(jnp.asarray(
+            [params.rc[0] ** 2, params.rc[1] ** 2], params.dtype))
+        return obs.R.astype(params.dtype) + floor[None]
+    return measurement_noise_batch(zs, params)
+
+
 def measure(state: FilterState, obs: "ObsBatch", u: jnp.ndarray,
             params: EKFParams) -> FilterState:
     """Process one tick's observations sequentially (reference loop
@@ -290,14 +341,14 @@ def measure(state: FilterState, obs: "ObsBatch", u: jnp.ndarray,
     ``obs`` is an ObsBatch (ops/ransac.py): padded rows
     [range, bearing_deg, index] + world-frame loc + valid mask.
     """
-    rc0 = jnp.asarray(params.rc[0], params.dtype)
-    rc1 = jnp.asarray(params.rc[1], params.dtype)
-
     def body(ii, s: FilterState) -> FilterState:
         z = jnp.stack([obs.rng[ii], obs.bearing[ii],
                        obs.index[ii].astype(params.dtype)])
-        # R scales with the measured values (EKF_SLAM_UC.m:110).
-        R2 = jnp.diag(jnp.stack([z[0] * rc0, z[1] * rc1]))
+        # R scales with the measured values (EKF_SLAM_UC.m:110) in the
+        # default noise_model='scaled'; see measurement_noise.
+        R2 = measurement_noise(z, params)
+        if params.noise_model == "fit" and obs.R is not None:
+            R2 = R2 + obs.R[ii].astype(params.dtype)
         loc = obs.loc[ii]
 
         def on_valid(s):

@@ -253,12 +253,9 @@ def sr_measure_batched(state: FilterState, obs: ObsBatch, u: jnp.ndarray,
     from ..ops.association import gate_batch
 
     M = obs.rng.shape[0]
-    rc0 = jnp.asarray(params.rc[0], params.dtype)
-    rc1 = jnp.asarray(params.rc[1], params.dtype)
     zs = jnp.stack([obs.rng, obs.bearing,
                     obs.index.astype(params.dtype)], axis=-1)
-    Rs = jax.vmap(lambda z: jnp.diag(
-        jnp.stack([z[0] * rc0, z[1] * rc1])))(zs)
+    Rs = ekf.obs_noise_batch(obs, zs, params)
 
     if params.association == ASSOC_KNOWN:
         is_new = zs[:, 2] > state.n_active.astype(params.dtype)

@@ -266,8 +266,10 @@ def sr_recompress(state: FilterState) -> FilterState:
     path, not a schedule."""
     from ..ops.blocked_chol import chol_for_state
     from ..ops.pallas.kernels import syrk_gram
-    # the Gram at half flops (lower tiles + MXU mirror) when the factor
-    # dim divides the kernel tile; plain matmul otherwise
+    # the Gram runs as a plain XLA matmul: the half-flop Pallas mirror
+    # kernel is RETIRED (XLA's S·Sᵀ measured 97.3 ms vs the kernel's
+    # 108 at D=20480 — XLA already exploits the A·Aᵀ structure,
+    # BASELINE.md round 4); pass use_pallas=True only as an experiment
     G = syrk_gram(state.P).astype(state.P.dtype)
     L_tri = chol_for_state(G, state.n_active)
     tri = state._replace(P=L_tri)
@@ -326,27 +328,33 @@ def sr_measure_fast(state: FilterState, obs: ObsBatch, u: jnp.ndarray,
     from ..ops.association import gate_batch
 
     M = obs.rng.shape[0]
-    rc0 = jnp.asarray(params.rc[0], params.dtype)
-    rc1 = jnp.asarray(params.rc[1], params.dtype)
     zs = jnp.stack([obs.rng, obs.bearing,
                     obs.index.astype(params.dtype)], axis=-1)
-    Rs = jax.vmap(lambda z: jnp.diag(
-        jnp.stack([z[0] * rc0, z[1] * rc1])))(zs)
+    Rs = ekf.obs_noise_batch(obs, zs, params)
 
+    obs_valid = obs.valid
     if params.association == ASSOC_KNOWN:
         is_new = zs[:, 2] > state.n_active.astype(params.dtype)
         slots = jnp.clip(obs.index - 1, 0, state.capacity - 1)
     else:
         strips = sr_strips(state.P, state.capacity, triangular=False)
-        is_new, slots = gate_batch(state, zs, Rs, params, strips=strips)
+        if params.ml_losers == "drop":
+            # see models/batched.measure_batched: out-claimed ml_unique
+            # observations invalidated instead of appended
+            is_new, slots, losers = gate_batch(state, zs, Rs, params,
+                                               strips=strips,
+                                               return_losers=True)
+            obs_valid = obs_valid & ~losers
+        else:
+            is_new, slots = gate_batch(state, zs, Rs, params, strips=strips)
     first = state.n_active == 0
     is_new = jnp.logical_or(is_new, first)
 
-    upd_valid = obs.valid & ~is_new
+    upd_valid = obs_valid & ~is_new
     state = sr_update_chunked(state, zs, slots, Rs, upd_valid, params)
 
     def body(ii, s):
         def do(s):
             return sr_append(s, u, Rs[ii], obs.loc[ii], zs[ii, 2], params)
-        return lax.cond(obs.valid[ii] & is_new[ii], do, lambda s: s, s)
+        return lax.cond(obs_valid[ii] & is_new[ii], do, lambda s: s, s)
     return lax.fori_loop(0, M, body, state)

@@ -25,12 +25,18 @@ from .angles import atan2d, wrap_to_180, wrap_to_360
 
 def _exclusive(is_new: jnp.ndarray, slot: jnp.ndarray,
                best_cost: jnp.ndarray, K: int
-               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batch-level mutual exclusion (association='ml_unique'): each slot
-    accepts only its lowest-cost claimant; everyone else becomes a new
-    candidate.  Two parallel scatter-mins — no sequential assignment
-    loop, any batch size.  Ties break to the lowest observation index
-    (deterministic, matching argmin's first-occurrence rule)."""
+    accepts only its lowest-cost claimant.  Two parallel scatter-mins —
+    no sequential assignment loop, any batch size.  Ties break to the
+    lowest observation index (deterministic, matching argmin's
+    first-occurrence rule).
+
+    Returns (is_new, slot, losers): an out-claimed observation comes back
+    is_new=True — so downstream append paths turn it into a NEW landmark
+    (params.ml_losers='append', the default) — with the ``losers`` mask
+    identifying exactly those rows so callers can instead invalidate them
+    for the batch (ml_losers='drop')."""
     M = slot.shape[0]
     inf = jnp.asarray(jnp.inf, best_cost.dtype)
     claim = jnp.where(is_new, inf, best_cost)                   # [M]
@@ -40,7 +46,8 @@ def _exclusive(is_new: jnp.ndarray, slot: jnp.ndarray,
     claimed_m = jnp.full((K,), M, jnp.int32).at[slot].min(
         midx.astype(jnp.int32))
     winner = ~is_new & (jnp.arange(M) == claimed_m[slot])
-    return ~winner, slot
+    losers = ~is_new & ~winner
+    return ~winner, slot, losers
 
 
 def _lm_diag_blocks(P: jnp.ndarray, K: int) -> jnp.ndarray:
@@ -129,62 +136,48 @@ def gate_costs(state, z: jnp.ndarray, R2: jnp.ndarray, params: EKFParams
 
     Phi = _phi_base(A, B, Prr, Prl, Pll) + R2[None].astype(x.dtype)
 
-    # batched 2x2 solve: position_cost = nu' Phi^-1 nu  (Correspondence.m:69)
-    det = (Phi[:, 0, 0] * Phi[:, 1, 1] - Phi[:, 0, 1] * Phi[:, 1, 0])
-    inv00, inv11 = Phi[:, 1, 1] / det, Phi[:, 0, 0] / det
-    inv01, inv10 = -Phi[:, 0, 1] / det, -Phi[:, 1, 0] / det
     n0, n1 = nu[:, 0], nu[:, 1]
-    position_cost = (n0 * (inv00 * n0 + inv01 * n1)
-                     + n1 * (inv10 * n0 + inv11 * n1))
+    if params.noise_model == "fit":
+        # stable Cholesky form for the anisotropic fit-propagated R
+        # (see batch_costs — the det form cancels in f32)
+        tiny = jnp.asarray(jnp.finfo(x.dtype).tiny, x.dtype)
+        l00 = jnp.sqrt(jnp.maximum(Phi[:, 0, 0], tiny))
+        l10 = Phi[:, 1, 0] / l00
+        l11 = jnp.sqrt(jnp.maximum(Phi[:, 1, 1] - l10 * l10, tiny))
+        y0 = n0 / l00
+        y1 = (n1 - l10 * y0) / l11
+        position_cost = y0 * y0 + y1 * y1
+    else:
+        # batched 2x2 solve: position_cost = nu' Phi^-1 nu
+        # (Correspondence.m:69)
+        det = (Phi[:, 0, 0] * Phi[:, 1, 1] - Phi[:, 0, 1] * Phi[:, 1, 0])
+        inv00, inv11 = Phi[:, 1, 1] / det, Phi[:, 0, 0] / det
+        inv01, inv10 = -Phi[:, 0, 1] / det, -Phi[:, 1, 0] / det
+        position_cost = (n0 * (inv00 * n0 + inv01 * n1)
+                         + n1 * (inv10 * n0 + inv11 * n1))
 
     sc = jnp.asarray(params.s_cost, x.dtype)
     signature_cost = (z[2] - state.sig) ** 2 / sc              # Corresp.m:71
     return position_cost, signature_cost
 
 
-def gate_batch(state, zs: jnp.ndarray, Rs: jnp.ndarray, params: EKFParams,
-               use_pallas: bool = False, strips=None
-               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Associate M measurements at once: (is_new [M], slot [M]).
+def batch_costs(state, zs: jnp.ndarray, Rs: jnp.ndarray, params: EKFParams,
+                strips=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The [M,K] gate cost planes: (position_cost, signature_cost).
 
-    ``use_pallas``: evaluate the [M,K] cost matrix with the fused Pallas
-    kernel (ops/pallas/gating.py — ML cost, wrapped innovation, symmetric-P
-    assumption) instead of the XLA strip path.
+    position_cost[m,k] = ν'Φ⁻¹ν of observation m against slot k — the
+    per-observation NIS (normalized innovation squared) when evaluated at
+    the associated slot, which is how utils/metrics-style consistency
+    reporting consumes it (SlamSession(collect_nis=True)).
 
-    ``strips``: optional precomputed (Prr [3,3], Prl [K,3,2], Pll [K,2,2])
-    in place of reading them from ``state.P`` — used by the square-root
-    filter (models/srekf.sr_strips), where P is stored as its Cholesky
-    factor and the strips come from the factor directly.
-
-    The innovation covariance splits as Φ_mk = Φ_k + R_m: the P-dependent
-    base Φ_k is assembled ONCE from P's pose strip and landmark-diagonal
-    blocks, then each measurement adds its own R and evaluates its costs —
-    so the per-measurement work is O(K) elementwise with no extra reads of
-    P.  This is the fast path behind models/batched.measure_batched; the
-    scalar ``gate`` keeps the reference's one-at-a-time semantics."""
-    if use_pallas:
-        import jax as _jax
-        from .pallas.gating import gate_costs_pallas, strips_from_state
-        lm_s, sig_s, act_s, prr_s, prl_s, pll_s = strips_from_state(state)
-        rdiag = jnp.stack([Rs[:, 0, 0], Rs[:, 1, 1]], axis=-1)
-        cost = gate_costs_pallas(state.x[:3], prr_s, zs, rdiag, lm_s,
-                                 sig_s, act_s, prl_s, pll_s, params.s_cost,
-                                 wrap_innovation=not params.ref_compat,
-                                 interpret=(_jax.devices()[0].platform
-                                            != "tpu"))
-        inf = jnp.asarray(jnp.inf, cost.dtype)
-        passes = cost <= jnp.asarray(params.s_thresh, cost.dtype)
-        is_new = jnp.logical_not(jnp.any(passes, axis=1))
-        slot = jnp.argmin(jnp.where(passes, cost, inf),
-                          axis=1).astype(jnp.int32)
-        if params.association == ASSOC_ML_UNIQUE:
-            best = jnp.take_along_axis(cost, slot[:, None], 1)[:, 0]
-            return _exclusive(is_new, slot, best, state.capacity)
-        return is_new, slot
-
+    The innovation covariance splits as Φ_mk = Φ0_k + R_m: the
+    P-dependent base Φ0 is assembled ONCE from P's pose strip and
+    landmark-diagonal blocks, then each measurement adds its own R in
+    rank-1 broadcast form — every intermediate is a single [M,K] plane
+    (the naive [M,K,2,2] Φ tensor costs 4× the HBM traffic and the gate
+    is bandwidth-bound; measured 0.74 ms/batch at M=512, K=1k)."""
     x, P = state.x, state.P
     K = state.capacity
-    M = zs.shape[0]
     th = x[2]
 
     lm = state.landmarks
@@ -221,21 +214,89 @@ def gate_batch(state, zs: jnp.ndarray, Rs: jnp.ndarray, params: EKFParams,
 
     Phi0 = _phi_base(A, B, Prr, Prl, Pll)                        # [K,2,2]
 
-    # Rank-1 broadcast form: Φ_mk = Φ0_k + R_m splits into [K]-strip +
-    # [M]-column outer sums, so every intermediate is a single [M,K] plane
-    # (the naive [M,K,2,2] Phi tensor costs 4× the HBM traffic and the
-    # gate is bandwidth-bound — measured 0.74 ms/batch at M=512, K=1k).
     Rt = Rs.astype(x.dtype)
     s00 = Phi0[None, :, 0, 0] + Rt[:, None, 0, 0]                # [M,K]
     s11 = Phi0[None, :, 1, 1] + Rt[:, None, 1, 1]
     s01 = Phi0[None, :, 0, 1] + Rt[:, None, 0, 1]
     s10 = Phi0[None, :, 1, 0] + Rt[:, None, 1, 0]
-    det = s00 * s11 - s01 * s10
-    position_cost = (n0 * (s11 * n0 - s01 * n1)
-                     + n1 * (-s10 * n0 + s00 * n1)) / det        # [M,K]
+    if params.noise_model == "fit":
+        # Cholesky-form evaluation: the fit-propagated R is strongly
+        # anisotropic (condition ~1e6), and the adjugate/det form below
+        # cancels catastrophically in f32 (negative "NIS" observed on
+        # chip).  ν'Φ⁻¹ν = ‖L⁻¹ν‖² via 2×2 forward substitution is
+        # stable for any PSD Φ.  Static branch: the tuned headline
+        # schedules (scaled/constant R) keep the cheaper det form.
+        tiny = jnp.asarray(jnp.finfo(x.dtype).tiny, x.dtype)
+        l00 = jnp.sqrt(jnp.maximum(s00, tiny))
+        l10 = s10 / l00
+        l11 = jnp.sqrt(jnp.maximum(s11 - l10 * l10, tiny))
+        y0 = n0 / l00
+        y1 = (n1 - l10 * y0) / l11
+        position_cost = y0 * y0 + y1 * y1
+    else:
+        det = s00 * s11 - s01 * s10
+        position_cost = (n0 * (s11 * n0 - s01 * n1)
+                         + n1 * (-s10 * n0 + s00 * n1)) / det    # [M,K]
 
     sc = jnp.asarray(params.s_cost, x.dtype)
     signature_cost = (zs[:, 2:3] - state.sig[None, :]) ** 2 / sc  # [M,K]
+    return position_cost, signature_cost
+
+
+def gate_batch(state, zs: jnp.ndarray, Rs: jnp.ndarray, params: EKFParams,
+               use_pallas: bool = False, strips=None,
+               return_losers: bool = False
+               ) -> Tuple[jnp.ndarray, ...]:
+    """Associate M measurements at once: (is_new [M], slot [M]).
+
+    ``return_losers``: additionally return the bool[M] mask of
+    observations that gated onto a slot but LOST it to a lower-cost
+    claimant under association='ml_unique' (all-False in other modes) —
+    by default such losers come back is_new=True and downstream appends
+    turn each into a new landmark (see EKFParams.ml_losers).
+
+    ``use_pallas``: evaluate the [M,K] cost matrix with the fused Pallas
+    kernel (ops/pallas/gating.py — ML cost, wrapped innovation, symmetric-P
+    assumption) instead of the XLA strip path.
+
+    ``strips``: optional precomputed (Prr [3,3], Prl [K,3,2], Pll [K,2,2])
+    in place of reading them from ``state.P`` — used by the square-root
+    filter (models/srekf.sr_strips), where P is stored as its Cholesky
+    factor and the strips come from the factor directly.
+
+    The innovation covariance splits as Φ_mk = Φ_k + R_m: the P-dependent
+    base Φ_k is assembled ONCE from P's pose strip and landmark-diagonal
+    blocks, then each measurement adds its own R and evaluates its costs —
+    so the per-measurement work is O(K) elementwise with no extra reads of
+    P.  This is the fast path behind models/batched.measure_batched; the
+    scalar ``gate`` keeps the reference's one-at-a-time semantics."""
+    if use_pallas:
+        import jax as _jax
+        from .pallas.gating import gate_costs_pallas, strips_from_state
+        lm_s, sig_s, act_s, prr_s, prl_s, pll_s = strips_from_state(state)
+        rdiag = jnp.stack([Rs[:, 0, 0], Rs[:, 1, 1]], axis=-1)
+        cost = gate_costs_pallas(state.x[:3], prr_s, zs, rdiag, lm_s,
+                                 sig_s, act_s, prl_s, pll_s, params.s_cost,
+                                 wrap_innovation=not params.ref_compat,
+                                 interpret=(_jax.devices()[0].platform
+                                            != "tpu"))
+        inf = jnp.asarray(jnp.inf, cost.dtype)
+        passes = cost <= jnp.asarray(params.s_thresh, cost.dtype)
+        is_new = jnp.logical_not(jnp.any(passes, axis=1))
+        slot = jnp.argmin(jnp.where(passes, cost, inf),
+                          axis=1).astype(jnp.int32)
+        if params.association == ASSOC_ML_UNIQUE:
+            best = jnp.take_along_axis(cost, slot[:, None], 1)[:, 0]
+            out = _exclusive(is_new, slot, best, state.capacity)
+            return out if return_losers else out[:2]
+        if return_losers:
+            return is_new, slot, jnp.zeros_like(is_new)
+        return is_new, slot
+
+    position_cost, signature_cost = batch_costs(state, zs, Rs, params,
+                                                strips=strips)
+    x = state.x
+    K = state.capacity
 
     if params.association in (ASSOC_ML, ASSOC_ML_UNIQUE):
         cost = position_cost + signature_cost
@@ -248,7 +309,10 @@ def gate_batch(state, zs: jnp.ndarray, Rs: jnp.ndarray, params: EKFParams,
     slot = jnp.argmin(jnp.where(passes, cost, inf), axis=1).astype(jnp.int32)
     if params.association == ASSOC_ML_UNIQUE:
         best = jnp.take_along_axis(cost, slot[:, None], 1)[:, 0]
-        return _exclusive(is_new, slot, best, K)
+        out = _exclusive(is_new, slot, best, K)
+        return out if return_losers else out[:2]
+    if return_losers:
+        return is_new, slot, jnp.zeros_like(is_new)
     return is_new, slot
 
 

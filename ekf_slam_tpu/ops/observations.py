@@ -20,6 +20,15 @@ class ObsBatch(NamedTuple):
     index: jnp.ndarray    # i32[M] extractor landmark index (signature)
     loc: jnp.ndarray      # f[M,2] world-frame landmark position (for append)
     valid: jnp.ndarray    # bool[M]
+    #: optional per-observation measurement covariance [M,2,2] in
+    #: (range m, bearing deg) coordinates, PROPAGATED from the
+    #: extractor's line-fit uncertainty (ops/ransac._finalize_wall →
+    #: extract): the perpendicular-foot landmark's error is strongly
+    #: anisotropic — ~lever_arm x fitted-angle error along the wall
+    #: line, ~centimeters across it — which no constant R can model.
+    #: Consumed when EKFParams.noise_model='fit' (rc becomes the
+    #: additive floor); None otherwise.
+    R: jnp.ndarray = None
 
     @property
     def max_obs(self) -> int:

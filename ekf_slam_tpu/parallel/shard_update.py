@@ -263,7 +263,22 @@ def sr_update_sharded(state: FilterState, zs, slots, Rs, valid,
     M = zs.shape[0]
     dt = state.P.dtype
     n_dev = mesh.shape[axis]
+    # the row-local math below assumes an even row split with ALL THREE
+    # pose rows on device 0 (Spose = S_local[:3] masked by d==0) — a
+    # misconfigured mesh would silently drop pose rows, so fail loudly
+    # at trace time instead (pad the state: init_state(pad_to_multiple_of
+    # =n_dev or a larger tile))
+    if Dtot % n_dev != 0:
+        raise ValueError(
+            f"sr_update_sharded: factor dim {Dtot} is not divisible by "
+            f"the {n_dev}-device {axis!r} axis — pad the state so the "
+            "row shards are even")
     rows_per = Dtot // n_dev
+    if rows_per < 3:
+        raise ValueError(
+            f"sr_update_sharded: {rows_per} rows/device < the 3 pose "
+            "rows that must live on device 0 — use fewer devices or a "
+            "larger state")
 
     # replicated observation-model pieces (masked like the single-chip
     # path: invalid slots → zero Jacobian rows, identity R blocks)
@@ -366,15 +381,13 @@ def sr_measure_shard_map(state: FilterState, obs, u, params: EKFParams,
     import jax
     from jax import lax
 
+    from ..models import ekf
     from ..models.srekf import sr_append, sr_strips
     from ..ops.association import gate_batch
 
-    rc0 = jnp.asarray(params.rc[0], params.dtype)
-    rc1 = jnp.asarray(params.rc[1], params.dtype)
     zs = jnp.stack([obs.rng, obs.bearing,
                     obs.index.astype(params.dtype)], axis=-1)
-    Rs = jax.vmap(lambda z: jnp.diag(
-        jnp.stack([z[0] * rc0, z[1] * rc1])))(zs)
+    Rs = ekf.obs_noise_batch(obs, zs, params)
 
     strips = sr_strips(state.P, state.capacity, triangular=False)
     is_new, slots = gate_batch(state, zs, Rs, params, strips=strips)
@@ -407,12 +420,9 @@ def measure_batched_shard_map(state: FilterState, obs, u, params: EKFParams,
     from ..models import ekf
     from ..ops.association import gate_batch
 
-    rc0 = jnp.asarray(params.rc[0], params.dtype)
-    rc1 = jnp.asarray(params.rc[1], params.dtype)
     zs = jnp.stack([obs.rng, obs.bearing,
                     obs.index.astype(params.dtype)], axis=-1)
-    Rs = jax.vmap(lambda z: jnp.diag(
-        jnp.stack([z[0] * rc0, z[1] * rc1])))(zs)
+    Rs = ekf.obs_noise_batch(obs, zs, params)
 
     is_new, slots = gate_batch(state, zs, Rs, params)
     first = state.n_active == 0

@@ -65,6 +65,11 @@ class StepOutput(NamedTuple):
     n_obs: jnp.ndarray      # observations processed this tick
     u: jnp.ndarray          # control used
     obs: ObsBatch           # the tick's observation batch (for replay/parity)
+    #: per-observation NIS ν'Φ⁻¹ν against the associated slot (NaN for
+    #: invalid/new rows) — only populated with SlamSession(collect_nis=
+    #: True); the filter-consistency statistic (~chi²(2) when healthy,
+    #: utils/metrics.nis)
+    nis: Optional[jnp.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -113,6 +118,12 @@ class SlamSession:
     #: map only ever grows).  Costs ~one extra P pass per tick; intended
     #: for bounded-capacity long-running sessions.
     maintain_max_trace: float = 0.0
+    #: compute per-observation NIS (normalized innovation squared against
+    #: the associated slot) in the step and emit it in StepOutput.nis —
+    #: the standard EKF consistency statistic the campaign/metrics
+    #: tooling consumes.  Costs one extra gate pass per tick (O(M·K)
+    #: elementwise); off by default.
+    collect_nis: bool = False
     #: donate the carry to the per-tick step program so the covariance is
     #: updated IN PLACE — without it, XLA holds input and output P
     #: simultaneously, and past ~20k landmarks a second P buffer does not
@@ -162,8 +173,17 @@ class SlamSession:
         self._run = jax.jit(scan_all)
 
     # -- construction -------------------------------------------------------
-    def init_carry(self, first_odom=None, n_beams: Optional[int] = None
-                   ) -> SessionCarry:
+    def init_carry(self, first_odom=None, n_beams: Optional[int] = None,
+                   init_pose=None) -> SessionCarry:
+        """Build the initial carry.
+
+        ``init_pose``: start the filter at this [x, y, theta_deg] instead
+        of the origin (the reference hardcodes x0 = 0, EKF_SLAM.m:28 —
+        fine when the robot powers up at its own frame origin, but a
+        session evaluated against a world-frame ground truth, or resumed
+        into a known map, needs the filter frame anchored; the extractor's
+        landmark feet are measured from the FILTER frame's origin, so the
+        anchoring changes landmark identity, not just reporting)."""
         sr_tick = None
         if self.ekf_params.update_mode == "srekf_fast":
             # pad the state with the noise-buffer columns and carry the
@@ -189,6 +209,9 @@ class SlamSession:
                 # carry the Cholesky factor in the P field (models/srekf.py)
                 from .models.srekf import factor_from_state
                 filt = factor_from_state(filt)
+        if init_pose is not None:
+            filt = filt._replace(x=filt.x.at[:3].set(
+                jnp.asarray(init_pose, filt.x.dtype)))
         old = (jnp.zeros((3,), self.ekf_params.dtype)
                if first_odom is None
                else jnp.asarray(first_odom, self.ekf_params.dtype))
@@ -280,7 +303,36 @@ class SlamSession:
             with jax.named_scope("ransac_extract"):
                 obs, table = self._extract(carry.table, scan, filt.x,
                                            filt.n_active, sub, rp,
-                                           ep.max_obs)
+                                           ep.max_obs, sig=filt.sig)
+            nis_rows = None
+            if self.collect_nis:
+                # one extra gate pass against the SAME pre-measure state
+                # the measurement phase associates with — position cost at
+                # the winning slot IS the per-observation NIS
+                from .ops.association import batch_costs, gate_batch
+                zsn = jnp.stack([obs.rng, obs.bearing,
+                                 obs.index.astype(ep.dtype)], axis=-1)
+                Rsn = ekf.obs_noise_batch(obs, zsn, ep)
+                strips = None
+                if ep.update_mode in ("srekf", "srekf_fast"):
+                    from .models.srekf import sr_strips
+                    strips = sr_strips(filt.P, ep.capacity,
+                                       triangular=ep.update_mode == "srekf")
+                if ep.association == "known":
+                    is_new_n = (zsn[:, 2]
+                                > filt.n_active.astype(ep.dtype))
+                    slots_n = jnp.clip(obs.index - 1, 0, ep.capacity - 1)
+                else:
+                    is_new_n, slots_n = gate_batch(filt, zsn, Rsn, ep,
+                                                   strips=strips)[:2]
+                pos_cost, _ = batch_costs(filt, zsn, Rsn, ep,
+                                          strips=strips)
+                got = obs.valid & ~is_new_n & (filt.n_active > 0)
+                nis_rows = jnp.where(
+                    got,
+                    jnp.take_along_axis(pos_cost, slots_n[:, None],
+                                        axis=1)[:, 0],
+                    jnp.nan).astype(ep.dtype)
             pre_measure = filt
             with jax.named_scope("ekf_measure"):
                 if ep.update_mode == "batched":
@@ -324,7 +376,7 @@ class SlamSession:
             out = StepOutput(pose=filt.x[:3],
                              n_active=filt.n_active,
                              n_obs=jnp.sum(obs.valid).astype(jnp.int32),
-                             u=u, obs=obs)
+                             u=u, obs=obs, nis=nis_rows)
             return SessionCarry(filt, table, odom_pose.astype(ep.dtype),
                                 key, prev_pts, prev_valid, sr_tick), out
 

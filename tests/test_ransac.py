@@ -90,7 +90,7 @@ def test_find_walls_recovers_room_walls():
     par = RansacParams(line_consensus=60, bearing_window_deg=15.0,
                        wall_search_timeout=4, ref_compat=False,
                        dtype=jnp.float64)
-    lines, ok, remaining = ransac.find_walls(pts, scan.valid,
+    lines, ok, remaining, _ = ransac.find_walls(pts, scan.valid,
                                              jax.random.PRNGKey(0), par)
     lines, ok = np.asarray(lines), np.asarray(ok)
     assert ok.sum() >= 2  # at least two walls found
@@ -108,7 +108,7 @@ def test_find_walls_insufficient_points():
     pts = jnp.zeros((100, 2))
     valid = jnp.zeros((100,), bool)
     par = RansacParams(line_consensus=60, dtype=jnp.float64)
-    _, ok, _ = ransac.find_walls(pts, valid, jax.random.PRNGKey(1), par)
+    _, ok, _, _ = ransac.find_walls(pts, valid, jax.random.PRNGKey(1), par)
     assert not np.any(np.asarray(ok))
 
 
@@ -270,7 +270,7 @@ def test_find_walls_batched_recovers_room_walls():
     par = RansacParams(line_consensus=60, bearing_window_deg=15.0,
                        wall_search_timeout=4, ref_compat=False,
                        dtype=jnp.float64)
-    lines, ok, _ = ransac.find_walls_batched(pts, scan.valid,
+    lines, ok, _, _ = ransac.find_walls_batched(pts, scan.valid,
                                              jax.random.PRNGKey(0), par,
                                              n_hypotheses=64)
     lines, ok = np.asarray(lines), np.asarray(ok)
@@ -297,7 +297,7 @@ def test_find_walls_batched_nonoverlapping():
     par = RansacParams(line_consensus=60, bearing_window_deg=15.0,
                        wall_search_timeout=4, ref_compat=False,
                        dtype=jnp.float64)
-    lines, ok, _ = ransac.find_walls_batched(pts, scan.valid,
+    lines, ok, _, _ = ransac.find_walls_batched(pts, scan.valid,
                                              jax.random.PRNGKey(3), par,
                                              n_hypotheses=64)
     feet = [np.asarray(ransac.perpendicular_foot(m, b))
