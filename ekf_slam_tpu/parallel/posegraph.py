@@ -179,6 +179,70 @@ def optimize(g: PoseGraph, iters: int = 10, damping: float = 1e-6
     return g._replace(nodes=nodes)
 
 
+def optimize_np(g: PoseGraph, iters: int = 20, damping: float = 1e-6
+                ) -> PoseGraph:
+    """Host-side float64 Gauss-Newton — same math as ``optimize``.
+
+    Why it exists: the normal equations carry a 1e6 gauge prior on node
+    0 next to the 1e-6 damping on free nodes — condition ~1e12, fine in
+    f64 but GARBAGE in an f32 solve (measured: the 16x16 submap
+    campaign's graph NaN'd on chip, where x64 is disabled and the jit
+    path silently runs f32).  Keyframe graphs are tiny (tens of nodes),
+    so a numpy double solve per iteration costs microseconds and is
+    robust regardless of the backend's x64 setting."""
+    import numpy as np
+
+    nodes = np.asarray(g.nodes, np.float64).copy()
+    valid = np.asarray(g.node_valid)
+    eij = np.asarray(g.edge_ij)
+    ez = np.asarray(g.edge_z, np.float64)
+    einfo = np.asarray(g.edge_info, np.float64)
+    evalid = np.asarray(g.edge_valid)
+    Nk = nodes.shape[0]
+    d2r = np.pi / 180.0
+
+    for _ in range(iters):
+        H = np.zeros((3 * Nk, 3 * Nk))
+        b = np.zeros(3 * Nk)
+        for e in range(len(eij)):
+            if not evalid[e]:
+                continue
+            i, j = int(eij[e, 0]), int(eij[e, 1])
+            xi, xj, z = nodes[i], nodes[j], ez[e]
+            thi = xi[2] * d2r
+            c, s = np.cos(thi), np.sin(thi)
+            dx, dy = xj[0] - xi[0], xj[1] - xi[1]
+            r = np.array([
+                c * dx + s * dy - z[0],
+                -s * dx + c * dy - z[1],
+                (((xj[2] - xi[2] - z[2]) + 180.0) % 360.0 - 180.0) * d2r,
+            ])
+            A = np.array([[-c, -s, -s * dx + c * dy],
+                          [s, -c, -c * dx - s * dy],
+                          [0.0, 0.0, -1.0]])
+            B = np.array([[c, s, 0.0], [-s, c, 0.0], [0.0, 0.0, 1.0]])
+            Om = np.diag(einfo[e])
+            ri = slice(3 * i, 3 * i + 3)
+            rj = slice(3 * j, 3 * j + 3)
+            AtO, BtO = A.T @ Om, B.T @ Om
+            H[ri, ri] += AtO @ A
+            H[ri, rj] += AtO @ B
+            H[rj, ri] += BtO @ A
+            H[rj, rj] += BtO @ B
+            b[3 * i:3 * i + 3] += AtO @ r
+            b[3 * j:3 * j + 3] += BtO @ r
+        diag = np.where(valid, damping, 1.0).repeat(3)
+        H += np.diag(diag)
+        H[0, 0] += 1e6
+        H[1, 1] += 1e6
+        H[2, 2] += 1e6
+        delta = -np.linalg.solve(H, b).reshape(Nk, 3)
+        delta[:, 2] /= d2r
+        nodes = nodes + delta * valid[:, None]
+        nodes[:, 2] = (nodes[:, 2] + 180.0) % 360.0 - 180.0
+    return g._replace(nodes=jnp.asarray(nodes, g.nodes.dtype))
+
+
 def graph_error(g: PoseGraph) -> jnp.ndarray:
     """Sum of squared (information-weighted) edge residuals."""
     def per_edge(e):

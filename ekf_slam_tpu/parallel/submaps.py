@@ -47,6 +47,14 @@ def compose(anchor: np.ndarray, local: np.ndarray) -> np.ndarray:
     ])
 
 
+def inverse_pose(p: np.ndarray) -> np.ndarray:
+    """SE(2) inverse: compose(p, inverse_pose(p)) = identity (degrees)."""
+    th = np.deg2rad(p[2])
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    return np.concatenate([-(R.T @ np.asarray(p[:2])),
+                           [np.mod(-p[2], 360.0)]])
+
+
 def transform_points(anchor: np.ndarray, pts: np.ndarray) -> np.ndarray:
     th = np.deg2rad(anchor[2])
     R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
@@ -64,6 +72,14 @@ class Submap:
     #: closures) + validity mask; None if scans were not recorded
     scan_pts: Optional[np.ndarray] = None
     scan_valid: Optional[np.ndarray] = None
+    #: keyframe scans along the segment (ROBOT-frame points at each
+    #: keyframe tick) + their local poses in the submap frame — the
+    #: trajectory loop-closure detector matches against these, because
+    #: a coverage route passes near the BODY of an old submap, rarely
+    #: near its anchor (detect_loop_closures_traj).
+    kf_pts: Optional[np.ndarray] = None      # [Nk,B,2]
+    kf_valid: Optional[np.ndarray] = None    # [Nk,B]
+    kf_pose: Optional[np.ndarray] = None     # [Nk,3] local poses
 
 
 @dataclasses.dataclass
@@ -79,11 +95,23 @@ class SubmapSlam:
     #: filter dtype.  Pass jnp.float64 explicitly on x64-enabled hosts
     #: to optimize the graph in double even for an f32 filter.
     graph_dtype: Optional[object] = None
+    #: extra SlamSession keyword arguments for the per-submap session
+    #: (e.g. control_source='icp', collect_nis=True,
+    #: maintain_merge_radius=... — the large-world campaign runs its
+    #: tuned session inside each submap).
+    session_kwargs: Optional[dict] = None
+    #: global pose of the FIRST submap's frame (the world anchor); the
+    #: default origin matches the reference's x0=0 convention.
+    start_pose: Optional[np.ndarray] = None
+    #: record a ROBOT-frame keyframe scan every this many ticks within a
+    #: segment (for trajectory loop closures); 0 disables keyframes.
+    kf_every: int = 40
 
     def __post_init__(self):
         self.session = SlamSession(ekf_params=self.ekf_params,
                                    ransac_params=self.ransac_params,
-                                   seed=self.seed)
+                                   seed=self.seed,
+                                   **(self.session_kwargs or {}))
         self.ekf_params = self.session.ekf_params
         # pose-graph dtype follows the filter params unless overridden:
         # hard-coded f64 here used to emit truncation warnings (and
@@ -93,12 +121,19 @@ class SubmapSlam:
                     else self.ekf_params.dtype)
         self.graph = pg.init_graph(256, 1024, self._dt)
         self.submaps: List[Submap] = []
-        self._anchor = np.zeros(3)
+        self._anchor = (np.zeros(3) if self.start_pose is None
+                        else np.asarray(self.start_pose, np.float64))
         self.graph, nid = pg.add_node(self.graph,
                                       jnp.asarray(self._anchor, self._dt))
         self._node = int(nid)
         self._carry = None
-        self._odo_info = np.array([50.0, 50.0, 50.0])
+        self._segment_local: List[np.ndarray] = []
+        # information = 1/sigma² on [m, m, RADIAN] residuals.  A
+        # segment's end-pose error is ~0.3 m / ~1.5 deg (0.026 rad), so
+        # heading information is two orders above position — the old
+        # uniform (50,50,50) said sigma_theta = 8 deg, drowning the
+        # heading consistency that actually drives global drift.
+        self._odo_info = np.array([10.0, 10.0, 1500.0])
 
     # -- running ------------------------------------------------------------
     def run(self, odom: np.ndarray, ranges: np.ndarray,
@@ -115,34 +150,77 @@ class SubmapSlam:
         t0 = 0
         while t0 < T:
             t1 = min(t0 + self.ticks_per_submap, T)
-            seg_carry = self.session.init_carry(first_odom=odom[t0])
+            # anchor the new segment at the PREVIOUS tick's odometry:
+            # its first step then integrates the t0-1 -> t0 motion, so
+            # no tick of real motion is dropped at segment boundaries
+            # (with first_odom=odom[t0] the first step's control is zero
+            # and one tick vanishes per segment — measured as ~9 deg
+            # edge error whenever a segment ended mid-turn).  The frame
+            # bookkeeping stays consistent: the new submap's frame is
+            # the robot pose at t0-1, which IS the previous segment's
+            # end pose, i.e. exactly the anchor compose() uses.
+            is_icp = self.session.control_source in ("icp", "fused")
+            seg_carry = self.session.init_carry(
+                first_odom=odom[t0] if t0 == 0 else odom[t0 - 1],
+                n_beams=ranges.shape[1] if is_icp else None)
+            if is_icp and t0 > 0:
+                # same boundary fix for scan-matched control: seed the
+                # carry with the t0-1 scan so the first tick's ICP
+                # recovers the t0-1 -> t0 motion instead of u=0
+                from ..ops.scan import scan_from_ranges, to_cartesian
+                import jax.numpy as jnp
+                scp = scan_from_ranges(jnp.asarray(ranges[t0 - 1]),
+                                       jnp.asarray(beam_angles))
+                seg_carry = seg_carry._replace(
+                    prev_pts=jnp.asarray(to_cartesian(scp),
+                                         self.ekf_params.dtype),
+                    prev_valid=scp.valid)
             seg_carry, outs = self.session.run(
                 odom[t0:t1], ranges[t0:t1], beam_angles, carry=seg_carry)
             local = np.asarray(outs.pose)
+            self._segment_local.append(local)
             for i in range(t1 - t0):
                 poses[t0 + i] = compose(self._anchor, local[i])
             # representative scan: first tick's scan in the submap frame
             # (robot starts at the submap origin, so local-frame points of
             # tick t0 ARE submap-frame points)
-            from ..ops.scan import scan_from_ranges, scan_to_world
+            from ..ops.scan import (scan_from_ranges, scan_to_world,
+                                    to_cartesian)
             import jax.numpy as jnp
             sc = scan_from_ranges(jnp.asarray(ranges[t0]),
                                   jnp.asarray(beam_angles))
             pts0 = np.asarray(scan_to_world(sc, jnp.zeros(3)))
+            kf_pts = kf_valid = kf_pose = None
+            if self.kf_every > 0:
+                ks = list(range(0, t1 - t0, self.kf_every))
+                pts_l, val_l, pose_l = [], [], []
+                for k in ks:
+                    sck = scan_from_ranges(jnp.asarray(ranges[t0 + k]),
+                                           jnp.asarray(beam_angles))
+                    pts_l.append(np.asarray(to_cartesian(sck)))
+                    val_l.append(np.asarray(sck.valid))
+                    pose_l.append(local[k])
+                kf_pts = np.stack(pts_l)
+                kf_valid = np.stack(val_l)
+                kf_pose = np.stack(pose_l)
             self._freeze_segment(seg_carry, local[-1],
                                  scan_pts=pts0,
-                                 scan_valid=np.asarray(sc.valid))
+                                 scan_valid=np.asarray(sc.valid),
+                                 kf_pts=kf_pts, kf_valid=kf_valid,
+                                 kf_pose=kf_pose)
             t0 = t1
         return poses
 
     def _freeze_segment(self, carry: SessionCarry, end_local: np.ndarray,
-                        scan_pts=None, scan_valid=None):
+                        scan_pts=None, scan_valid=None, kf_pts=None,
+                        kf_valid=None, kf_pose=None):
         """Freeze the current submap, drop a keyframe, spawn the next."""
         self.submaps.append(Submap(
             anchor=self._anchor.copy(), node_id=self._node,
             carry=carry, n_landmarks=int(carry.filt.n_active),
             end_local_pose=np.asarray(end_local),
-            scan_pts=scan_pts, scan_valid=scan_valid))
+            scan_pts=scan_pts, scan_valid=scan_valid,
+            kf_pts=kf_pts, kf_valid=kf_valid, kf_pose=kf_pose))
         new_anchor = compose(self._anchor, end_local)
         self.graph, nid = pg.add_node(self.graph,
                                       jnp.asarray(new_anchor, self._dt))
@@ -203,6 +281,108 @@ class SubmapSlam:
                 added += 1
         return added
 
+    def detect_loop_closures_traj(self, ranges: np.ndarray, beam_angles,
+                                  radius: float = 10.0,
+                                  min_separation: int = 1,
+                                  info=(6.0, 6.0, 3000.0),
+                                  icp_max_rmse: float = 0.12,
+                                  icp_min_inliers: int = 120,
+                                  icp_max_pair_dist: float = 2.0,
+                                  max_per_pair: int = 1,
+                                  max_corr_xy: float = 4.0,
+                                  max_corr_deg: float = 15.0) -> int:
+        """Trajectory-based loop closures: the anchor-proximity detector
+    above never fires on sweep/serpentine coverage routes (non-adjacent
+    ANCHORS stay tens of meters apart even when the robot drives within
+    meters of an old submap every row).  Here the detector walks each
+    segment's per-tick GLOBAL pose estimates; whenever the robot passes
+    within ``radius`` of an EARLIER submap's anchor, the that-tick scan
+    (robot frame) is ICP-matched against the old submap's stored anchor
+    scan, seeded from the current estimate — giving the robot's pose in
+    the old submap's frame, hence a measured relative-pose edge between
+    the two anchors: z_ij = z_icp ∘ (local_j[t])⁻¹.  Accepted only when
+    the match converges (rmse / inlier gates).  Returns closures added.
+
+    ``ranges``/``beam_angles`` are the same stream run() consumed (the
+    segment tick offsets index into it)."""
+        from ..ops.icp import icp as run_icp
+        from ..ops.scan import scan_from_ranges, to_cartesian
+
+        ranges = np.asarray(ranges)
+        added = 0
+        t_base = 0
+        for j, (smj, local_j) in enumerate(zip(self.submaps,
+                                               self._segment_local)):
+            glob = np.stack([compose(smj.anchor, p) for p in local_j])
+            for i in range(0, j - min_separation):
+                smi = self.submaps[i]
+                if smi.kf_pts is None:
+                    continue
+                # global poses of submap i's keyframes (current estimates)
+                kf_glob = np.stack([compose(smi.anchor, p)
+                                    for p in smi.kf_pose])
+                # nearest (segment tick, keyframe) pairs
+                d = np.hypot(glob[:, None, 0] - kf_glob[None, :, 0],
+                             glob[:, None, 1] - kf_glob[None, :, 1])
+                n_pair = 0
+                while n_pair < max_per_pair:
+                    t, kf = np.unravel_index(np.argmin(d), d.shape)
+                    if d[t, kf] >= radius:
+                        break
+                    d[t, :] = np.inf      # one closure per tick/keyframe
+                    d[:, kf] = np.inf
+                    sc = scan_from_ranges(
+                        jnp.asarray(ranges[t_base + t], self._dt),
+                        jnp.asarray(beam_angles, self._dt))
+                    pts = np.asarray(to_cartesian(sc))
+                    # seed: robot pose in the KEYFRAME's robot frame per
+                    # current estimates
+                    z0 = np.asarray(pg.relative_pose(
+                        jnp.asarray(kf_glob[kf], self._dt),
+                        jnp.asarray(glob[t], self._dt)))
+                    # coarse-to-fine: the seed error IS the accumulated
+                    # drift being measured, so a first pass pairs
+                    # coarsely to pull the alignment in, then a tight
+                    # pass re-pairs at fine radius — the ACCEPT gate
+                    # reads the fine pass (a coarse-radius rmse mixes
+                    # mismatched pairs and rejects genuine closures)
+                    a = (jnp.asarray(pts, self._dt),
+                         jnp.asarray(np.asarray(sc.valid)),
+                         jnp.asarray(smi.kf_pts[kf], self._dt),
+                         jnp.asarray(smi.kf_valid[kf]))
+                    coarse = run_icp(*a,
+                                     init_pose=jnp.asarray(z0, self._dt),
+                                     iters=25,
+                                     max_pair_dist=icp_max_pair_dist)
+                    res = run_icp(*a, init_pose=coarse.pose, iters=15,
+                                  max_pair_dist=0.5)
+                    if (float(res.rmse) > icp_max_rmse
+                            or int(res.n_inliers) < icp_min_inliers):
+                        continue
+                    # perceptual-aliasing guard: semi-regular worlds
+                    # (look-alike rooms) let ICP converge CONFIDENTLY on
+                    # the wrong room — a closure correcting more than
+                    # the plausible drift envelope is rejected (one such
+                    # outlier edge NaN'd the f32 Gauss-Newton at 16x16)
+                    z_fine = np.array(res.pose, np.float64)
+                    dxy = float(np.hypot(z_fine[0] - z0[0],
+                                         z_fine[1] - z0[1]))
+                    dth = abs(((z_fine[2] - z0[2]) + 180.0) % 360.0
+                              - 180.0)
+                    if dxy > max_corr_xy or dth > max_corr_deg:
+                        continue
+                    # robot in submap i frame = kf_pose ∘ z_icp; edge
+                    # z_ij = (robot in i) ∘ (robot in j)⁻¹
+                    z_icp = z_fine
+                    z = compose(compose(smi.kf_pose[kf], z_icp),
+                                inverse_pose(local_j[t]))
+                    z[2] = np.mod(z[2] + 180.0, 360.0) - 180.0
+                    self.add_loop_closure(i, j, z, info)
+                    added += 1
+                    n_pair += 1
+            t_base += len(local_j)
+        return added
+
     def add_loop_closure(self, i: int, j: int, z_rel, info=(200.0, 200.0,
                                                            200.0)):
         """Relative-pose constraint between submap i's and submap j's
@@ -211,13 +391,26 @@ class SubmapSlam:
             self.graph, self.submaps[i].node_id, self.submaps[j].node_id,
             jnp.asarray(z_rel, self._dt), jnp.asarray(info, self._dt))
 
-    def optimize(self, iters: int = 15):
-        """Re-align all anchors; updates each submap's stored anchor."""
-        self.graph = pg.optimize(self.graph, iters=iters)
+    def optimize(self, iters: int = 15) -> bool:
+        """Re-align all anchors; updates each submap's stored anchor.
+
+        Returns False (leaving the anchors untouched) if the optimized
+        nodes are non-finite — a diverged Gauss-Newton (e.g. an outlier
+        closure that slipped the gates) must not destroy the map."""
+        before = self.graph
+        # host f64 solve: the normal equations' gauge-prior/damping mix
+        # is condition ~1e12 — an f32 backend solve diverges (pg
+        # .optimize_np)
+        self.graph = pg.optimize_np(self.graph, iters=iters)
         nodes = np.asarray(self.graph.nodes)
+        n = int(self.graph.n_nodes)
+        if not np.all(np.isfinite(nodes[:n])):
+            self.graph = before
+            return False
         for sm in self.submaps:
             sm.anchor = nodes[sm.node_id].copy()
             sm.anchor[2] = np.mod(sm.anchor[2], 360.0)
+        return True
 
     # -- global map -----------------------------------------------------------
     def global_landmarks(self) -> np.ndarray:
@@ -237,3 +430,14 @@ class SubmapSlam:
         """Optimized anchor poses [S+1, 3] (the keyframe trajectory)."""
         n = int(self.graph.n_nodes)
         return np.asarray(self.graph.nodes[:n])
+
+    def global_poses(self) -> np.ndarray:
+        """Per-tick global pose estimates [T,3] recomposed through the
+        CURRENT (e.g. post-optimize) anchors — run() returns the
+        pre-optimization composition; call this after loop closures +
+        optimize() for the corrected trajectory."""
+        out = []
+        for sm, local in zip(self.submaps, self._segment_local):
+            out.append(np.stack([compose(sm.anchor, p) for p in local]))
+        return (np.concatenate(out, axis=0) if out
+                else np.zeros((0, 3)))

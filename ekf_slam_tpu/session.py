@@ -53,6 +53,13 @@ class SessionCarry(NamedTuple):
     # control_source='icp' (scan-to-scan odometry); None otherwise.
     prev_pts: Optional[jnp.ndarray] = None     # f[B,2]
     prev_valid: Optional[jnp.ndarray] = None   # bool[B]
+    # previous tick's control — the constant-velocity seed for the next
+    # tick's scan match (icp/fused only): an UNSEEDED match loses
+    # rotation during fast turns (a 9 deg/tick turn swings far points
+    # past the pairing radius; measured as the dominant per-submap
+    # heading error in the large-world campaign), while the previous u
+    # predicts the swing almost exactly on a smooth platform.
+    prev_u: Optional[jnp.ndarray] = None       # f[2]
     # tick counter — only carried for update_mode='srekf_fast', where it
     # schedules the process-noise buffer column and the periodic factor
     # recompression (models/srekf_fast.py); None otherwise.
@@ -215,7 +222,7 @@ class SlamSession:
         old = (jnp.zeros((3,), self.ekf_params.dtype)
                if first_odom is None
                else jnp.asarray(first_odom, self.ekf_params.dtype))
-        prev_pts = prev_valid = None
+        prev_pts = prev_valid = prev_u = None
         if self.control_source in ("icp", "fused"):
             if n_beams is None:
                 raise ValueError(
@@ -224,6 +231,7 @@ class SlamSession:
             # empty previous scan → first tick's ICP finds no pairs → u=0
             prev_pts = jnp.zeros((n_beams, 2), self.ekf_params.dtype)
             prev_valid = jnp.zeros((n_beams,), bool)
+            prev_u = jnp.zeros((2,), self.ekf_params.dtype)
         return SessionCarry(
             filt=filt,
             table=self._init_table(self.ransac_params),
@@ -232,6 +240,7 @@ class SlamSession:
             prev_pts=prev_pts,
             prev_valid=prev_valid,
             sr_tick=sr_tick,
+            prev_u=prev_u,
         )
 
     def _make_step(self):
@@ -240,7 +249,7 @@ class SlamSession:
         def step(carry: SessionCarry, odom_pose, ranges, beam_angles
                  ) -> Tuple[SessionCarry, StepOutput]:
             scan = scan_from_ranges(ranges, beam_angles)
-            prev_pts = prev_valid = None
+            prev_pts = prev_valid = prev_u = None
             if self.control_source in ("icp", "fused"):
                 # scan-to-scan odometry: align this scan onto the previous
                 # one (robot frame) — the transform IS the robot's motion
@@ -248,9 +257,16 @@ class SlamSession:
                 from .ops.icp import icp
                 from .ops.scan import to_cartesian
                 pts = to_cartesian(scan).astype(ep.dtype)
+                # constant-velocity seed from the previous tick's control
+                # (see SessionCarry.prev_u): chord translation at the
+                # half-angle heading + the previous turn rate
+                pD, pTh = carry.prev_u[0], carry.prev_u[1]
+                seed = jnp.stack([pD * cosd(0.5 * pTh),
+                                  pD * sind(0.5 * pTh), pTh])
                 with jax.named_scope("icp_control"):
                     res = icp(pts, scan.valid, carry.prev_pts,
                               carry.prev_valid, iters=self.icp_iters,
+                              init_pose=seed,
                               max_pair_dist=self.icp_max_pair_dist)
                 dTh = res.pose[2]
                 mag = jnp.linalg.norm(res.pose[:2])
@@ -284,6 +300,8 @@ class SlamSession:
                               + (odom_pose[1] - carry.old_odom[1]) ** 2)
                 dTh = angdiff_deg(carry.old_odom[2], odom_pose[2])
             u = jnp.stack([dD, dTh]).astype(ep.dtype)
+            if self.control_source in ("icp", "fused"):
+                prev_u = u
 
             with jax.named_scope("ekf_predict"):
                 if ep.update_mode == "srekf":
@@ -377,8 +395,11 @@ class SlamSession:
                              n_active=filt.n_active,
                              n_obs=jnp.sum(obs.valid).astype(jnp.int32),
                              u=u, obs=obs, nis=nis_rows)
-            return SessionCarry(filt, table, odom_pose.astype(ep.dtype),
-                                key, prev_pts, prev_valid, sr_tick), out
+            return SessionCarry(filt=filt, table=table,
+                                old_odom=odom_pose.astype(ep.dtype),
+                                key=key, prev_pts=prev_pts,
+                                prev_valid=prev_valid, sr_tick=sr_tick,
+                                prev_u=prev_u), out
 
         return step
 

@@ -201,6 +201,48 @@ def map_accuracy(est_landmarks: np.ndarray, gt_feet: np.ndarray,
     }
 
 
+def map_accuracy_lines(est_landmarks: np.ndarray, world: World,
+                       tol: float = 0.5, margin: float = 3.0) -> dict:
+    """Frame-agnostic map accuracy: match estimated landmarks to WALL
+    LINES instead of to world-origin feet.
+
+    The reference's landmark is the perpendicular foot from the FILTER
+    frame's origin (RANSAC.m:220) — a frame-dependent point on the
+    wall's infinite line.  A submap pipeline maps each region in its own
+    local frame, so its composed landmarks lie on the right lines but
+    not at the world-origin feet; this metric scores what is actually
+    frame-invariant: estimated landmarks must lie ON a wall's line
+    (within ``tol`` perpendicular) near the physical segment (within
+    ``margin`` beyond its endpoints along the line).  Returns
+    {n_walls, n_covered (segments with >=1 matching estimate), n_est,
+    n_spurious (estimates near no wall), mean_err (perpendicular)}."""
+    segs = np.asarray(world.segments, np.float64)
+    if len(est_landmarks) == 0:
+        return {"n_walls": int(len(segs)), "n_covered": 0, "n_est": 0,
+                "n_spurious": 0, "mean_err": float("nan")}
+    p = np.asarray(est_landmarks, np.float64)
+    a, b = segs[:, :2], segs[:, 2:]
+    e = b - a
+    L = np.maximum(np.hypot(e[:, 0], e[:, 1]), 1e-9)
+    u = e / L[:, None]
+    rel = p[:, None, :] - a[None, :, :]                     # [E,S,2]
+    t = np.einsum("esk,sk->es", rel, u)                     # along-line
+    perp = np.abs(rel[..., 0] * u[None, :, 1]
+                  - rel[..., 1] * u[None, :, 0])            # [E,S]
+    near = (perp < tol) & (t > -margin) & (t < L[None, :] + margin)
+    covered = near.any(axis=0)
+    spurious = ~near.any(axis=1)
+    perr = np.where(near, perp, np.inf).min(axis=1)
+    ok = np.isfinite(perr)
+    return {
+        "n_walls": int(len(segs)),
+        "n_covered": int(covered.sum()),
+        "n_est": int(len(p)),
+        "n_spurious": int(spurious.sum()),
+        "mean_err": float(perr[ok].mean()) if ok.any() else float("nan"),
+    }
+
+
 def serpentine_waypoints(nx: int, ny: int, room: float = 8.0,
                          base_angle_deg: float = 45.0) -> np.ndarray:
     """Coverage route for ``floorplan_world``: room centers in serpentine

@@ -49,7 +49,7 @@ def campaign_params(capacity: int, dtype, control: str = "fused",
     (q_floor; the reference's rank-1 Q adds nothing on straight drives).
     """
     ekf = EKFParams(
-        capacity=capacity, max_obs=16, ref_compat=False,
+        capacity=capacity, max_obs=24, ref_compat=False,
         association="ml", s_cost=1e6, s_thresh=9.2,
         # fit-propagated anisotropic R (ObsBatch.R) + this constant
         # floor: the foot feature's error is lever_arm-dominated and no
@@ -68,11 +68,11 @@ def campaign_params(capacity: int, dtype, control: str = "fused",
         guard_max_jump=0.5,
         update_mode="batched", dtype=dtype)
     ransac = RansacParams(
-        line_consensus=40, bearing_window_deg=20.0,
-        wall_search_timeout=8, sample_points=12,
+        line_consensus=36, bearing_window_deg=20.0,
+        wall_search_timeout=9, sample_points=12,
         inlier_dist=0.15, assoc_dist=0.7,
-        promote_count=5, freshness=50,
-        table_capacity=max(256, 2 * capacity), n_hypotheses=128,
+        promote_count=4, freshness=90,
+        table_capacity=max(256, 2 * capacity), n_hypotheses=192,
         refine_passes=2, refine_frac=0.4,
         split_gap=1.2, split_kink_deg=3.0, max_fit_rms=0.04,
         match_mode="nearest", writeback_mode="sig",

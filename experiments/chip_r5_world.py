@@ -51,7 +51,7 @@ def main():
     world = W.floorplan_world(ROOMS, ROOMS, seed=0)
     gt = W.cluster_feet(W.true_feet(world), 0.5)
     wp = W.serpentine_waypoints(ROOMS, ROOMS)
-    ctrl, start = W.waypoint_controls(wp, step=0.25)
+    ctrl, start = W.waypoint_controls(wp, step=float(os.environ.get('R5W_STEP', '0.25')))
     T = int(os.environ.get("R5W_TICKS", str(ctrl.shape[0])))
     ctrl = ctrl[:T]
     print(f"[r5w] world: {world.segments.shape[0]} segments, "
@@ -74,7 +74,11 @@ def main():
     sess = SlamSession(ekf_params=ekf, ransac_params=ransac, seed=1,
                        control_source=control, collect_nis=True,
                        icp_max_pair_dist=0.4, icp_min_inliers=200,
-                       icp_max_rmse=0.08, maintain_merge_radius=0.4)
+                       icp_max_rmse=0.08,
+                       maintain_merge_radius=float(
+                           os.environ.get('R5W_MERGE', '0.0')),
+                       maintain_max_trace=float(
+                           os.environ.get('R5W_MAXTR', '0.0')))
     carry = sess.init_carry(
         first_odom=traj.odom[0], init_pose=start,
         n_beams=1024 if control in ("icp", "fused") else None)
@@ -167,10 +171,72 @@ def main():
         "ticks_per_sec_spread_pct": round(spread, 1),
         "extractor_ms_per_tick": round(ex_ms, 3),
         "full_run_seconds": round(t_run, 1),
+        "n_active_trace": np.asarray(outs.n_active)[::max(1, T // 32)].astype(int).tolist(),
         "platform": jax.devices()[0].platform,
     }
+    # -- submap + pose-graph pipeline (the scale answer: the monolithic
+    # joint filter accumulates gauge drift over ~10k ticks, submap-local
+    # frames also shrink the foot lever arms; loop closures re-align)
+    if os.environ.get("R5W_SUBMAPS", "1") == "1":
+        import dataclasses
+
+        from ekf_slam_tpu.parallel.submaps import SubmapSlam
+
+        ekf_s, ransac_s = campaign_params(192, dt, control, 0.5)
+        ransac_s = dataclasses.replace(ransac_s, table_capacity=512)
+        sm = SubmapSlam(
+            ekf_params=ekf_s, ransac_params=ransac_s, seed=1,
+            ticks_per_submap=int(os.environ.get("R5W_TPS", "400")),
+            kf_every=40,
+            session_kwargs=dict(
+                control_source=control, icp_max_pair_dist=0.4,
+                icp_min_inliers=200, icp_max_rmse=0.08,
+                maintain_merge_radius=0.4),
+            start_pose=start)
+        t0 = time.time()
+        poses_pre = sm.run(np.asarray(traj.odom), np.asarray(traj.ranges),
+                           traj.beam_angles)
+        t_sub = time.time() - t0
+        print(f"[r5w] submap run: {t_sub:.1f}s, {len(sm.submaps)} "
+              f"submaps", flush=True)
+        t0 = time.time()
+        n_lc = sm.detect_loop_closures_traj(
+            np.asarray(traj.ranges), traj.beam_angles, radius=10.0,
+            min_separation=1, icp_max_rmse=0.16, icp_min_inliers=120,
+            max_per_pair=2, max_corr_xy=3.0, max_corr_deg=5.0)
+        opt_ok = sm.optimize(iters=30)
+        poses_post = sm.global_poses()
+        print(f"[r5w] {n_lc} loop closures + optimize (ok={opt_ok}): "
+              f"{time.time()-t0:.1f}s", flush=True)
+        lmg = sm.global_landmarks()
+        lm_c = W.cluster_feet(lmg, 0.5) if len(lmg) else lmg
+        ate_pre = float(np.sqrt(np.mean(np.sum(
+            (poses_pre[:, :2] - truth[:, :2]) ** 2, -1))))
+        ate_post = float(np.sqrt(np.mean(np.sum(
+            (poses_post[:, :2] - truth[:, :2]) ** 2, -1))))
+        rec["submaps"] = {
+            "n_submaps": len(sm.submaps),
+            "ticks_per_submap": sm.ticks_per_submap,
+            "loop_closures": n_lc,
+            "optimize_ok": bool(opt_ok),
+            "ate_pre": round(ate_pre, 3),
+            "ate_post": round(ate_post, 3),
+            "landmarks": int(len(lmg)),
+            "landmarks_clustered": int(len(lm_c)),
+            # frame-agnostic metric: submap feet live on the right wall
+            # LINES but not at the world-origin feet (sim.world
+            # .map_accuracy_lines)
+            "map_lines": W.map_accuracy_lines(lm_c, world, tol=0.5),
+            "run_seconds": round(t_sub, 1),
+        }
+        # the monolithic map scored the same way, for comparison
+        rec["map_lines_monolithic"] = W.map_accuracy_lines(
+            lm, world, tol=0.5)
+
     os.makedirs(RESULTS, exist_ok=True)
-    with open(os.path.join(RESULTS, "r5_world.json"), "w") as f:
+    rec["merge_radius"] = float(os.environ.get("R5W_MERGE", "0.0"))
+    tag = os.environ.get("R5W_TAG", "")
+    with open(os.path.join(RESULTS, f"r5_world{tag}.json"), "w") as f:
         json.dump(rec, f, indent=1)
         f.write("\n")
     print("[r5w] " + json.dumps(rec), flush=True)

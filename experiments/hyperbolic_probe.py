@@ -124,7 +124,11 @@ def correctness(D=256, R=64, nb=64, seed=0):
     tri = np.abs(np.triu(out, 1)).max()
     print(f"[hyp] correctness D={D} R={R} nb={nb}: "
           f"relerr {err:.2e}, upper-tri residue {tri:.2e}")
-    return err < 1e-8 and tri < 1e-8
+    # f32 backends land ~2e-4 (hyperbolic transforms amplify round-off
+    # |cosh|>1-style — itself a conditioning data point vs the
+    # orthogonal-QR route); f64 reaches 3e-15
+    thresh = 1e-8 if out.dtype == np.float64 else 5e-3
+    return err < thresh and tri < thresh
 
 
 def chip_timing(D=20480, R=1024, nb=1024, n_it=8):
@@ -138,7 +142,9 @@ def chip_timing(D=20480, R=1024, nb=1024, n_it=8):
     Wm = jax.random.normal(jax.random.fold_in(key, 1), (D, R),
                            jnp.float32) * 0.01
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=2)
     def run(L, W, it):
         def body(c, i):
             L = hyperbolic_downdate_blocked(c, W + 0.0 * i, nb)
@@ -147,12 +153,12 @@ def chip_timing(D=20480, R=1024, nb=1024, n_it=8):
         return out
 
     t0 = time.time()
-    _fetch(run(Lm, Wm, jnp.asarray(1))[0, 0])
+    _fetch(run(Lm, Wm, 1)[0, 0])
     print(f"[hyp] compile+1: {time.time()-t0:.1f}s", flush=True)
     t0 = time.time()
-    _fetch(run(Lm, Wm, jnp.asarray(n_it))[0, 0])
+    _fetch(run(Lm, Wm, n_it)[0, 0])
     dt_all = time.time() - t0
-    per = dt_all / n_it
+    per = (dt_all) / n_it
     print(f"[hyp] D={D} R={R} nb={nb}: {per*1e3:.1f} ms per rank-{R} "
           f"downdate ({n_it} its).  Per M=4096 batch (8 chunks): "
           f"{8*per*1e3:.0f} ms vs sr_update_panel's measured ~195 ms "
